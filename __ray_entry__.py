@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,32 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF001 = "/root/testdata/sf0.001"
+_SF01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline on the sf0.001 synthetic code corpus:
+    segment → NER scorer actor pool → mention recovery → alias linking →
+    salted canonicalization → deduplicated triples."""
+    from knowledgeextraction_ray.pipelines.kg import kg_pipeline
+    return kg_pipeline(_SF001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from knowledgeextraction_ray.corpus import ensure_corpus
+    from knowledgeextraction_ray.pipelines.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # the oracle SQL reads the deterministic corpus cache from /tmp — make
+    # sure it exists regardless of whether the driver runs Ray or SQL first
+    for sf in (_SF001, _SF01):
+        ensure_corpus(sf)
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (driver runs them at sf=0.01).
+    Non-SQL-expressible ops are omitted → rows-only check."""
+    from knowledgeextraction_ray.pipelines.queries import build_oracles
+    return build_oracles(_SF01)

@@ -1,0 +1,125 @@
+"""Segmentation primitives (reference M1–M3 analogs).
+
+- ``split_sentences`` reimplements the reference sentence splitter semantics
+  (``knowledgeextractor/utils/text_segment.py:24-38``): regex-split on CJK
+  sentence punctuation, re-attach the delimiter to the preceding fragment, and
+  merge fragments so paired quotes stay in one sentence
+  (``text_segment.py:6-22``).
+- ``split_lines`` is the code-payload analog: units are source lines with the
+  trailing newline re-attached (so ``"".join(units) == text`` exactly).
+- ``pack_segments`` reimplements the greedy chunker
+  (``test/files_ner_test/crf_gen_taggers.py:32-88``): pack consecutive units
+  into chunks of at most ``max_payload`` chars, recording each chunk's char
+  offset into the original text. Entity spans are rebased into the chunk
+  (``start_pos -= offset``) and spans that straddle a chunk boundary are
+  DROPPED — the reference's ``end_pos < offset+curLen`` guard
+  (``crf_gen_taggers.py:36-41``), reproduced exactly.
+
+All functions are pure and row-local: they run inside ``map_batches`` bodies.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SENT_DELIMS = "；，？。！…"
+_SENT_RE = re.compile(r"([；，？。！…]+)")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split on CJK punctuation, delimiter re-attached; leading close-quote
+    of a fragment is moved back to the previous fragment."""
+    parts = _SENT_RE.split(text)
+    units: list[str] = []
+    for i in range(0, len(parts), 2):
+        frag = parts[i]
+        delim = parts[i + 1] if i + 1 < len(parts) else ""
+        if frag or delim:
+            units.append(frag + delim)
+    # move a leading closing quote back to the previous unit
+    fixed: list[str] = []
+    for u in units:
+        if fixed and u.startswith("”"):
+            fixed[-1] += "”"
+            u = u[1:]
+        if u:
+            fixed.append(u)
+    return merge_quoted(fixed)
+
+
+def merge_quoted(units: list[str]) -> list[str]:
+    """Merge consecutive units so every paired “ ” quote is balanced within
+    one unit (reference symmetric-quote merger)."""
+    out: list[str] = []
+    depth = 0
+    for u in units:
+        if depth > 0:
+            out[-1] += u
+        else:
+            out.append(u)
+        depth += u.count("“") - u.count("”")
+        depth = max(depth, 0)
+    return out
+
+
+def split_lines(text: str) -> list[str]:
+    """Code analog of the sentence splitter: lines with '\\n' re-attached."""
+    units = text.split("\n")
+    return [u + "\n" for u in units[:-1]] + ([units[-1]] if units[-1] else [])
+
+
+def pack_segments(units: list[str], max_payload: int) -> list[tuple[str, int]]:
+    """Greedily pack units into chunks ≤ max_payload chars.
+
+    Returns ``[(chunk_text, char_offset_into_original), ...]``. A single unit
+    longer than max_payload is hard-split at max_payload boundaries (the
+    mention-drop guard in :func:`rebase_entities` handles any span cut by the
+    split, mirroring the reference's silent boundary drop).
+    """
+    chunks: list[tuple[str, int]] = []
+    cur: list[str] = []
+    cur_len = 0
+    offset = 0
+    pos = 0
+    for u in units:
+        if len(u) > max_payload:
+            if cur:
+                chunks.append(("".join(cur), offset))
+                cur, cur_len = [], 0
+            for s in range(0, len(u), max_payload):
+                chunks.append((u[s:s + max_payload], pos + s))
+            pos += len(u)
+            offset = pos
+            continue
+        if cur_len + len(u) > max_payload and cur:
+            chunks.append(("".join(cur), offset))
+            cur, cur_len = [], 0
+            offset = pos
+        cur.append(u)
+        cur_len += len(u)
+        pos += len(u)
+    if cur:
+        chunks.append(("".join(cur), offset))
+    return chunks
+
+
+def rebase_entities(entities, offset: int, chunk_len: int):
+    """Rebase char-span entities into a chunk; drop spans not fully inside.
+
+    ``entities``: iterable of (label_type, start_pos, end_pos) with half-open
+    [start, end). Mirrors ``crf_gen_taggers.py:36-41``: a span survives only if
+    ``offset <= start`` and ``end <= offset + chunk_len``.
+    """
+    out = []
+    for (label, s, e) in entities:
+        if s >= offset and e <= offset + chunk_len:
+            out.append((label, s - offset, e - offset))
+    return out
+
+
+def segment_text(text: str, max_payload: int, min_len: int,
+                 mode: str = "lines") -> list[tuple[str, int]]:
+    """Full segmenter: unit split → greedy pack → min-length filter (M7)."""
+    units = split_lines(text) if mode == "lines" else split_sentences(text)
+    return [(c, off) for (c, off) in pack_segments(units, max_payload)
+            if len(c) >= min_len]

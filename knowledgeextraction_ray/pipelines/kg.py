@@ -1,0 +1,62 @@
+"""Flagship KG-construction pipeline (SURVEY.md §7.1).
+
+read_parquet(corpus) → segment (M1-M3) → NER scorer actor pool (A1/A2) →
+mention recovery (M10) → broadcast alias linking (J2) → salted
+canonicalization groupby → triple emission + exact dedup (D1) →
+subject-hash-partitioned parquet with lineage (see state/lineage.py).
+
+The mention stream feeds TWO consumers (the canonicalization aggregate and
+the triple emitter). In-memory mode pins the linked-mention dataset in the
+object store (``materialize()`` — bounded: mentions are far smaller than the
+corpus). The resumable production path instead checkpoints linked mentions to
+Parquet per input wave (state/lineage.py), which doubles as the resume point —
+at 100 TB you never recompute the scorer stage to re-derive aggregates.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..config import PipelineConfig
+from ..corpus import alias_path, corpus_parquet_dir, ensure_corpus
+from ..stages.canonicalize import canonicalize_dataset
+from ..stages.linking import link_dataset
+from ..stages.mentions import mentions_dataset
+from ..stages.ner_scorer import score_dataset
+from ..stages.segmenter import segment_dataset
+from ..stages.triples import triples_dataset
+
+
+def read_corpus(sf_dir: str):
+    """Corpus Dataset for a test-data scale dir (generating the cache if
+    needed). All five columns are needed downstream — no pruning possible on
+    the flagship; narrower ops should pass ``columns=``."""
+    ensure_corpus(sf_dir)
+    return rd.read_parquet(corpus_parquet_dir(sf_dir))
+
+
+def linked_mentions(sf_dir: str, cfg: PipelineConfig | None = None):
+    cfg = cfg or PipelineConfig()
+    ds = read_corpus(sf_dir)
+    segs = segment_dataset(ds, cfg.segment)
+    scored = score_dataset(segs, cfg.scorer, cfg.segment)
+    ments = mentions_dataset(scored)
+    return link_dataset(ments, alias_path(sf_dir),
+                        concurrency=cfg.scorer.concurrency)
+
+
+def canonical_map_of(canon_ds) -> dict[str, str]:
+    """Materialize the (small) canonicalization result to a broadcast dict."""
+    pdf = canon_ds.to_pandas()
+    return dict(zip(pdf["surface_norm"], pdf["entity_id"]))
+
+
+def kg_pipeline(sf_dir: str, cfg: PipelineConfig | None = None):
+    """End-to-end: returns the deduplicated triple Dataset (lazy until
+    consumed)."""
+    cfg = cfg or PipelineConfig()
+    linked = linked_mentions(sf_dir, cfg).materialize()
+    canon = canonicalize_dataset(linked, cfg.canonicalize.num_salts)
+    cmap = canonical_map_of(canon)
+    return triples_dataset(linked, cmap,
+                           concurrency=cfg.scorer.concurrency)

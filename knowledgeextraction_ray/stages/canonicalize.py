@@ -1,0 +1,109 @@
+"""Skew-safe canonicalization of surface forms (north-star stage).
+
+Groups linked mentions by NORMALIZED surface form and elects one canonical
+entity per group (max linked prior, tie-break min entity_id) — the
+generalization of the reference's label-map canonicalization table
+(``config/label_map.json``, applied at ``crf_gen_taggers.py:226-246``).
+
+Skew handling (SURVEY.md §7.4): hot identifiers ("main", "utils") can be
+10^6× the median group. Three-phase aggregate, every phase associative:
+
+1. **batch partial** (``map_batches``, no shuffle): one row per surface form
+   per batch — count + best candidate. This collapses the mention stream by
+   orders of magnitude before any exchange.
+2. **salted combine** (``groupby([surface_norm, salt])``): partial rows carry
+   a content-derived salt so a hot key's partials spread over ``num_salts``
+   reduce groups instead of one.
+3. **final merge** (``groupby(surface_norm)``) over ≤ num_salts rows per key.
+
+The argmax-by-(prior, entity) is encoded as a single ORDERABLE string key
+``f"{1-prior:.6f}|{entity_id}"`` so phases 2–3 are plain vectorized
+``Min``/``Sum`` built-in aggregates — no per-group Python function (a
+``map_groups`` lambda over millions of tiny groups is a Python-loop-shaped
+bottleneck). The salt only shapes the intermediate exchange; the merge is
+associative and commutative, so the final table is independent of salting
+and batch layout.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data.aggregate import Min, Sum
+
+from ..functions.hashing import stable_hash64
+
+PARTIAL_SCHEMA = pa.schema([
+    ("surface_norm", pa.string()), ("salt", pa.int32()),
+    ("best_key", pa.string()), ("n_mentions", pa.int64()),
+])
+
+
+def encode_best(prior: float, entity_id: str) -> str:
+    """(prior, entity) → orderable key: lexicographic MIN == max prior,
+    tie-break min entity_id. Priors live in [0, 1] with ≤6 decimals."""
+    return f"{1.0 - prior:.6f}|{entity_id}"
+
+
+def decode_best(key: str) -> tuple[str, float]:
+    inv, entity_id = key.split("|", 1)
+    return entity_id, round(1.0 - float(inv), 6)
+
+
+class PartialCanonical:
+    """Stateless map_batches body: linked mentions → per-batch partials."""
+
+    def __init__(self, num_salts: int = 8):
+        self.num_salts = num_salts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norms = batch["surface_norm"].to_pylist()
+        ents = batch["entity_id"].to_pylist()
+        priors = batch["prior"].to_pylist()
+        guids = batch["guid"].to_pylist()
+        acc: dict[str, list] = {}
+        for norm, ent, prior in zip(norms, ents, priors):
+            key = encode_best(prior, ent)
+            cur = acc.get(norm)
+            if cur is None:
+                acc[norm] = [key, 1]
+            else:
+                if key < cur[0]:
+                    cur[0] = key
+                cur[1] += 1
+        # content-derived salt: deterministic for a given batch, spreads hot
+        # keys across reduce groups; final merge is salt-invariant.
+        salt = int(stable_hash64([guids[0]])[0] % self.num_salts) if guids else 0
+        return pa.Table.from_pydict({
+            "surface_norm": list(acc.keys()),
+            "salt": [salt] * len(acc),
+            "best_key": [v[0] for v in acc.values()],
+            "n_mentions": [v[1] for v in acc.values()],
+        }, schema=PARTIAL_SCHEMA)
+
+
+def _decode_batch(batch: pa.Table) -> pa.Table:
+    keys = batch["best_key"].to_pylist()
+    ents, priors = [], []
+    for k in keys:
+        e, p = decode_best(k)
+        ents.append(e)
+        priors.append(p)
+    return pa.Table.from_pydict({
+        "surface_norm": batch["surface_norm"].to_pylist(),
+        "entity_id": ents,
+        "prior": priors,
+        "n_mentions": batch["n_mentions"].to_pylist(),
+    })
+
+
+def canonicalize_dataset(linked_ds, num_salts: int = 8):
+    """linked mentions → (surface_norm, entity_id, prior, n_mentions)."""
+    partials = linked_ds.map_batches(PartialCanonical(num_salts),
+                                     batch_format="pyarrow")
+    combined = partials.groupby(["surface_norm", "salt"]).aggregate(
+        Min("best_key", alias_name="best_key"),
+        Sum("n_mentions", alias_name="n_mentions"))
+    final = combined.groupby("surface_norm").aggregate(
+        Min("best_key", alias_name="best_key"),
+        Sum("n_mentions", alias_name="n_mentions"))
+    return final.map_batches(_decode_batch, batch_format="pyarrow")

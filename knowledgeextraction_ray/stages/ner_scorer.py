@@ -1,0 +1,168 @@
+"""Stateful NER scorer actor pool (reference A1/A2 restated on Ray Data).
+
+The reference serves a CRF-ALBERT NER model from a single Tornado process
+(``nermodels/crf_albert.py:173-226``): featurize → estimator.predict (ALBERT
+encoder → per-token projection → softmax → ARGMAX, ``crf_albert.py:144-145``)
+→ recover tags. Here the same flow is an actor-pool ``map_batches`` stage:
+
+- ``__init__`` (once per actor) loads the model — for this sandbox a
+  deterministic rule-based char-tagger (no TF/torch in the container); the
+  interface (``CharTagModel.logits(ids, mask) → (N, L, K) float32``) is the
+  drop-in point for a real ALBERT encoder replica (``num_gpus=1`` per actor).
+- ``__call__`` (per batch) featurizes (reference M9 semantics), runs the
+  model on the ID TENSORS ONLY, then decodes:
+  ``decode="argmax"`` = per-char argmax — the reference's inference decode
+  (parity mode); ``decode="viterbi"`` = BIO-constrained Viterbi over the same
+  emission scores with the transition structure the reference only uses at
+  train time (``crf_albert.py:147-168``) — the north-star decode.
+
+Output column ``tag_ids`` is a per-char ``list<int8>`` trimmed to the payload
+length (CLS/SEP/pad stripped, ``crf_processor.py:86-103`` semantics).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import ScorerConfig, SegmentConfig
+from ..corpus import LABELS, MENTION_PATTERNS
+from ..functions.bio import label_vocab
+from ..functions.featurize import (CLS_ID, ID2CHAR, PAD_ID, SEP_ID,
+                                   featurize_batch)
+
+LABEL_LIST = label_vocab(LABELS)          # ["O", "IMPORT-B", "IMPORT-I", ...]
+LABEL2ID = {l: i for i, l in enumerate(LABEL_LIST)}
+NUM_LABELS = len(LABEL_LIST)
+
+_CHAR_LUT = np.array([ID2CHAR.get(i, "\x00") for i in range(max(ID2CHAR) + 1)],
+                     dtype="<U1")
+
+
+def ids_to_texts(ids: np.ndarray, seq_len: np.ndarray) -> list[str]:
+    """(N, L) id matrix → payload strings (strip CLS, stop at SEP)."""
+    chars = _CHAR_LUT[np.clip(ids, 0, len(_CHAR_LUT) - 1)]
+    return ["".join(chars[i, 1:1 + seq_len[i]].tolist())
+            for i in range(ids.shape[0])]
+
+
+class RuleCharTagModel:
+    """Deterministic stand-in for the ALBERT+projection encoder.
+
+    Emits per-char logits: background score on ``O`` everywhere, confident
+    scores on ``TYPE-B``/``TYPE-I`` over every span matched by the compiled
+    mention grammar. Consumes only the id tensors the featurizer produced, so
+    the scorer stage is shaped exactly like a real model stage.
+    """
+
+    def __init__(self):
+        self.patterns = [(lab, re.compile(pat))
+                         for lab, pat in MENTION_PATTERNS.items()]
+
+    def logits(self, ids: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
+        n, L = ids.shape
+        out = np.zeros((n, L, NUM_LABELS), dtype=np.float32)
+        out[:, :, LABEL2ID["O"]] = 5.0
+        texts = ids_to_texts(ids, seq_len)
+        for i, text in enumerate(texts):
+            for lab, pat in self.patterns:
+                b_id = LABEL2ID[f"{lab}-B"]
+                i_id = LABEL2ID[f"{lab}-I"]
+                for m in pat.finditer(text):
+                    s, e = m.span(1)
+                    # +1: position 0 is [CLS]
+                    out[i, s + 1, b_id] = 10.0
+                    if e > s + 1:
+                        out[i, s + 2:e + 1, i_id] = 10.0
+        return out
+
+
+def bio_transitions() -> np.ndarray:
+    """(K, K) transition scores: 0 for BIO-legal moves, -1e4 otherwise.
+
+    ``TYPE-I`` may only follow ``TYPE-B`` or ``TYPE-I`` of the same type —
+    the constraint a trained CRF transitions matrix encodes
+    (``crf_albert.py:147-168``)."""
+    t = np.zeros((NUM_LABELS, NUM_LABELS), dtype=np.float32)
+    for j, lab in enumerate(LABEL_LIST):
+        if lab.endswith("-I"):
+            typ = lab[:-2]
+            for i, prev in enumerate(LABEL_LIST):
+                if prev[:-2] != typ or prev == "O":
+                    t[i, j] = -1e4
+    return t
+
+
+def viterbi_decode(logits: np.ndarray, seq_len: np.ndarray,
+                   transitions: np.ndarray) -> np.ndarray:
+    """First-order Viterbi over (N, L, K) emissions → (N, L) tags.
+
+    Decoded per row over the REAL sequence length (payload + CLS/SEP) so the
+    padded tail never influences the path; each DP step is a (K, K) numpy
+    max — fine for L ≤ 384 and a non-default decode mode."""
+    n, L, K = logits.shape
+    tags = np.zeros((n, L), dtype=np.int8)
+    for i in range(n):
+        Lr = int(seq_len[i]) + 2
+        s = logits[i, 0, :].copy()
+        bk = np.zeros((Lr, K), dtype=np.int8)
+        for t in range(1, Lr):
+            cand = s[:, None] + transitions
+            bk[t] = cand.argmax(axis=0)
+            s = cand.max(axis=0) + logits[i, t, :]
+        cur = int(s.argmax())
+        seq = [cur]
+        for t in range(Lr - 1, 0, -1):
+            cur = int(bk[t, cur])
+            seq.append(cur)
+        tags[i, :Lr] = seq[::-1]
+    return tags
+
+
+class NerScorer:
+    """Actor-pool callable: segment batch → segment batch + ``tag_ids``.
+
+    Use as ``ds.map_batches(NerScorer, concurrency=N, batch_size=B,
+    batch_format="pyarrow")`` — construction cost (model load, regex compile,
+    transition build) is paid once per actor (SURVEY.md A1).
+    """
+
+    def __init__(self, scorer_cfg: ScorerConfig | None = None,
+                 segment_cfg: SegmentConfig | None = None):
+        self.cfg = scorer_cfg or ScorerConfig()
+        self.seg = segment_cfg or SegmentConfig()
+        self.model = RuleCharTagModel()
+        self.transitions = bio_transitions()
+
+    def _decode(self, logits: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
+        if self.cfg.decode == "viterbi":
+            return viterbi_decode(logits, seq_len, self.transitions)
+        return logits.argmax(axis=2).astype(np.int8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids, mask, seq_len = featurize_batch(texts, self.seg.max_seq_length)
+        logits = self.model.logits(ids, seq_len)
+        tags = self._decode(logits, seq_len)
+        # strip CLS / cut at payload end (M10 semantics) → ragged list column
+        trimmed = [tags[i, 1:1 + seq_len[i]] for i in range(len(texts))]
+        col = pa.array([t.tolist() for t in trimmed], type=pa.list_(pa.int8()))
+        return batch.append_column("tag_ids", col)
+
+
+def score_dataset(ds, scorer_cfg: ScorerConfig | None = None,
+                  segment_cfg: SegmentConfig | None = None):
+    cfg = scorer_cfg or ScorerConfig()
+    # autoscaling pool (1, N): never pre-reserves every CPU — a fixed-size
+    # pool that exactly matches the session CPUs starves the read/write
+    # stages and deadlocks the streaming executor.
+    return ds.map_batches(
+        NerScorer,
+        fn_constructor_kwargs={"scorer_cfg": cfg, "segment_cfg": segment_cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.concurrency),
+        num_cpus=cfg.num_cpus,
+    )

@@ -1,0 +1,168 @@
+"""Unit tests for the pure-function layer (segmentation, BIO, featurizer,
+conlleval) against hand-computed goldens — the rebuild analog of the
+reference's inline __main__ smoke tests (SURVEY.md §5)."""
+
+import numpy as np
+
+from knowledgeextraction_ray.functions.bio import (bio_to_spans, label_vocab,
+                                                   spans_to_bio)
+from knowledgeextraction_ray.functions.conlleval import ChunkCounts
+from knowledgeextraction_ray.functions.featurize import (CLS_ID, SEP_ID,
+                                                         featurize_batch,
+                                                         featurize_text,
+                                                         recover_text)
+from knowledgeextraction_ray.functions.hashing import (partition_id_for,
+                                                       sha256_hex,
+                                                       stable_hash64)
+from knowledgeextraction_ray.functions.textseg import (merge_quoted,
+                                                       pack_segments,
+                                                       rebase_entities,
+                                                       segment_text,
+                                                       split_lines,
+                                                       split_sentences)
+
+
+def test_split_lines_roundtrip():
+    text = "import a\ndef f():\n    pass\n"
+    units = split_lines(text)
+    assert "".join(units) == text
+    assert units == ["import a\n", "def f():\n", "    pass\n"]
+
+
+def test_split_lines_no_trailing_newline():
+    text = "a\nb"
+    assert "".join(split_lines(text)) == text
+
+
+def test_split_sentences_reattaches_delimiter():
+    # reference semantics: delimiter stays with the preceding fragment
+    units = split_sentences("今天天气好。明天下雨，记得带伞！")
+    assert units == ["今天天气好。", "明天下雨，", "记得带伞！"]
+    assert "".join(units) == "今天天气好。明天下雨，记得带伞！"
+
+
+def test_merge_quoted():
+    units = ["他说：“你好，", "世界”。", "再见。"]
+    merged = merge_quoted(units)
+    assert merged == ["他说：“你好，世界”。", "再见。"]
+
+
+def test_pack_segments_greedy_and_offsets():
+    units = ["aaaa", "bbbb", "cccc", "dd"]
+    chunks = pack_segments(units, max_payload=8)
+    assert chunks == [("aaaabbbb", 0), ("ccccdd", 8)]
+
+
+def test_pack_segments_long_unit_hard_split():
+    chunks = pack_segments(["x" * 10], max_payload=4)
+    assert chunks == [("xxxx", 0), ("xxxx", 4), ("xx", 8)]
+
+
+def test_rebase_entities_drops_straddlers():
+    # entity [3, 6) straddles a chunk boundary at 4 → dropped (the
+    # reference's crf_gen_taggers.py:36-41 guard)
+    ents = [("T", 0, 2), ("T", 3, 6), ("T", 5, 7)]
+    inside = rebase_entities(ents, offset=4, chunk_len=4)
+    assert inside == [("T", 1, 3)]
+    first = rebase_entities(ents, offset=0, chunk_len=4)
+    assert first == [("T", 0, 2)]
+
+
+def test_segment_text_min_length_filter():
+    segs = segment_text("ab\nlonger line here\n", max_payload=100, min_len=4)
+    assert segs == [("ab\nlonger line here\n", 0)]
+    segs2 = segment_text("ab\n", max_payload=100, min_len=4)
+    assert segs2 == []
+
+
+def test_spans_to_bio_and_inverse():
+    text_len = 10
+    ents = [("FUNC", 2, 5), ("CALL", 7, 9)]
+    labels = spans_to_bio(text_len, ents)
+    assert labels == ["O", "O", "FUNC-B", "FUNC-I", "FUNC-I", "O", "O",
+                      "CALL-B", "CALL-I", "O"]
+    assert bio_to_spans(labels) == ents
+
+
+def test_spans_to_bio_overlap_last_wins():
+    labels = spans_to_bio(6, [("A", 0, 4), ("B", 2, 5)])
+    assert labels == ["A-B", "A-I", "B-B", "B-I", "B-I", "O"]
+
+
+def test_bio_to_spans_orphan_I_starts_chunk():
+    # conlleval rule: I after O (or after a different type) begins a chunk
+    assert bio_to_spans(["O", "A-I", "A-I", "B-I"]) == [("A", 1, 3),
+                                                        ("B", 3, 4)]
+
+
+def test_bio_to_spans_adjacent_B():
+    assert bio_to_spans(["A-B", "A-B", "A-I"]) == [("A", 0, 1), ("A", 1, 3)]
+
+
+def test_label_vocab_deterministic():
+    v = label_vocab(("X", "Y"))
+    assert v == ["O", "X-B", "X-I", "Y-B", "Y-I"]
+
+
+def test_featurize_roundtrip():
+    text = "def foo(a):"
+    ids, mask = featurize_text(text, 32)
+    assert ids[0] == CLS_ID
+    assert ids[len(text) + 1] == SEP_ID
+    assert mask.sum() == len(text) + 2
+    assert recover_text(ids) == text
+
+
+def test_featurize_truncation():
+    text = "x" * 100
+    ids, mask = featurize_text(text, 16)
+    assert recover_text(ids) == "x" * 14  # max_seq_length - 2
+    assert mask.sum() == 16
+
+
+def test_featurize_batch_shapes():
+    ids, mask, seq_len = featurize_batch(["ab", "cdef"], 8)
+    assert ids.shape == (2, 8) and mask.shape == (2, 8)
+    assert list(seq_len) == [2, 4]
+
+
+def test_featurize_oov_is_unk():
+    from knowledgeextraction_ray.functions.featurize import UNK_ID
+    ids, _ = featurize_text("中", 8)
+    # multibyte char degrades to UNK run (code corpus is ASCII)
+    assert ids[1] == UNK_ID
+
+
+def test_sha256_and_partition_stability():
+    assert sha256_hex("abc") == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    h = stable_hash64(["abc", "abc", "xyz"])
+    assert h[0] == h[1] != h[2]
+    p = partition_id_for(["a", "b", "c"], 4)
+    assert ((p >= 0) & (p < 4)).all()
+
+
+def test_conlleval_counts_and_merge():
+    gold = ["O", "A-B", "A-I", "O", "B-B"]
+    pred_perfect = list(gold)
+    pred_boundary_off = ["O", "A-B", "O", "O", "B-B"]   # A chunk too short
+    c1 = ChunkCounts()
+    c1.update(gold, pred_perfect)
+    assert c1.metrics()["f1"] == 1.0
+    c2 = ChunkCounts()
+    c2.update(gold, pred_boundary_off)
+    m = c2.metrics()
+    assert m["correct_chunks"] == 1 and m["gold_chunks"] == 2
+    merged = c1.merge(c2)
+    assert merged.gold_chunks == 4 and merged.correct_chunks == 3
+
+
+def test_conlleval_type_off_and_split_chunk():
+    gold = ["A-B", "A-I", "A-I", "O"]
+    c = ChunkCounts()
+    c.update(gold, ["B-B", "B-I", "B-I", "O"])       # type-off: no credit
+    assert c.metrics()["correct_chunks"] == 0
+    c2 = ChunkCounts()
+    c2.update(gold, ["A-B", "A-B", "A-I", "O"])      # split chunk: no credit
+    assert c2.metrics()["correct_chunks"] == 0
+    assert c2.pred_chunks == 2
