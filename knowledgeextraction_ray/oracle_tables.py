@@ -1,0 +1,163 @@
+"""DuckDB oracle SQL for operators over the provided test tables
+(documents / embeddings / events / TPC-H-ish). These run against the
+driver's pre-registered views, so no paths are embedded.
+
+Exactness strategy: every float aggregate is a scaled-integer sum
+(``sum(cast(round(x*10^k, 0) as bigint))``), matching the Ray side's
+vectorized int64 sums — order-independent, hash-exact. The regex engine on
+both sides is RE2 (pyarrow and DuckDB), so regex counts agree exactly.
+"""
+
+from __future__ import annotations
+
+from .stages.text_analysis import (LANG_MARKERS, PUNCT_RE, STOPWORD_RE,
+                                   TOKEN_RE)
+
+SQL_DOC_EXACT_DEDUP = """
+select sha256(text) as text_sha, min(doc_id) as rep_doc_id,
+       count(*) as n_dups
+from documents group by 1
+"""
+
+SQL_DOC_TOKEN_COUNT = f"""
+select doc_id,
+       cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint)
+         as n_tokens
+from documents
+"""
+
+SQL_DOC_QUALITY = f"""
+with c as (
+  select doc_id,
+         cast(length(text) as bigint) as n_chars,
+         cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint)
+           as n_tokens,
+         cast(len(regexp_extract_all(text, '{PUNCT_RE}')) as bigint)
+           as n_punct,
+         cast(len(regexp_extract_all(text, '{STOPWORD_RE}')) as bigint)
+           as n_stopwords
+  from documents)
+select *,
+       (n_tokens >= 20 and 100 * n_punct < 10 * n_chars
+        and 100 * n_stopwords >= 2 * n_tokens) as quality_ok
+from c
+"""
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_MARKERS)       # de, en, es, fr — alphabetical
+    cols = ",\n         ".join(
+        f"cast(len(regexp_extract_all(text, '{LANG_MARKERS[l]}')) as bigint)"
+        f" as {l}" for l in langs)
+    # argmax with first-alphabetical tie-break == Ray's argmax(axis=1)
+    case = (f"case when greatest({', '.join(langs)}) = 0 then 'und' "
+            f"when de >= en and de >= es and de >= fr then 'de' "
+            f"when en >= es and en >= fr then 'en' "
+            f"when es >= fr then 'es' else 'fr' end")
+    return f"""
+with v as (
+  select doc_id,
+         {cols}
+  from documents)
+select doc_id, {case} as pred_lang from v
+"""
+
+
+SQL_DOC_LANGID = _langid_sql()
+
+SQL_DOC_JACCARD_PAIRS = """
+select d1.source as source, d1.doc_id as doc_id_a, d2.doc_id as doc_id_b,
+       jaccard(d1.text, d2.text) as jaccard
+from documents d1
+join documents d2 on d1.source = d2.source and d1.doc_id < d2.doc_id
+where jaccard(d1.text, d2.text) >= 0.5
+"""
+
+SQL_KNN_TOPK = """
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings),
+q as (select vec_id as q_id, v as qv from e where vec_id < 8)
+select q_id, vec_id as neighbor_id,
+       cast(row_number() over (
+         partition by q_id
+         order by list_cosine_similarity(qv, v) desc, vec_id asc)
+         as bigint) as rank,
+       round(list_cosine_similarity(qv, v), 6) as sim
+from q join e on e.vec_id <> q.q_id
+qualify rank <= 10
+"""
+
+SQL_EVENTS_WINDOW = """
+select user_id, date_trunc('hour', ts) as window_start,
+       count(*) as n_events,
+       sum(cast(round(value * 10000, 0) as bigint)) as sum_value_e4
+from events group by 1, 2
+"""
+
+SQL_EVENTS_SESSIONS = """
+with s as (
+  select user_id, ts,
+         case when lag(ts) over (partition by user_id order by ts) is null
+                or ts - lag(ts) over (partition by user_id order by ts)
+                   > interval '30 minutes'
+              then 1 else 0 end as brk
+  from events),
+s2 as (
+  select user_id, ts,
+         sum(brk) over (partition by user_id order by ts
+                        rows between unbounded preceding and current row) - 1
+           as session_id
+  from s)
+select user_id, cast(session_id as bigint) as session_id,
+       count(*) as n_events, min(ts) as start_ts, max(ts) as end_ts
+from s2 group by 1, 2
+"""
+
+SQL_Q1 = """
+select l_returnflag, l_linestatus,
+       sum(cast(round(l_quantity * 100, 0) as bigint)) as sum_qty_e2,
+       sum(cast(round(l_extendedprice * 100, 0) as bigint)) as sum_price_e2,
+       sum(cast(round(l_discount * 10000, 0) as bigint)) as sum_disc_e4,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02'
+group by 1, 2
+"""
+
+SQL_ORDERS_BY_NATION = """
+select coalesce(n.n_name, 'UNKNOWN') as n_name,
+       count(*) as n_orders,
+       sum(cast(round(o.o_totalprice * 100, 0) as bigint)) as sum_total_e2
+from orders o
+left join customer c on o.o_custkey = c.c_custkey
+left join nation n on c.c_nationkey = n.n_nationkey
+group by 1
+"""
+
+SQL_TOP_ORDERS = """
+select o_orderkey, o_totalprice from orders
+order by o_totalprice desc, o_orderkey asc limit 10
+"""
+
+SQL_PART_TYPE_STATS = """
+select p_type, count(*) as n_parts,
+       min(cast(round(p_retailprice * 100, 0) as bigint)) as min_price_e2,
+       max(cast(round(p_retailprice * 100, 0) as bigint)) as max_price_e2
+from part group by 1
+"""
+
+TABLE_ORACLES = {
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_langid": SQL_DOC_LANGID,
+    "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+    "knn_topk": SQL_KNN_TOPK,
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "q1_pricing_summary": SQL_Q1,
+    "orders_by_nation": SQL_ORDERS_BY_NATION,
+    "top_orders": SQL_TOP_ORDERS,
+    "part_type_stats": SQL_PART_TYPE_STATS,
+}

@@ -89,12 +89,167 @@ KG_QUERIES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# operators over the provided tables (documents / embeddings / events / TPC-H)
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_token_count(sf_dir: str):
+    from ..stages.text_analysis import token_count_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    from ..stages.text_analysis import quality_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow")
+
+
+def q_doc_langid(sf_dir: str):
+    from ..stages.text_analysis import langid_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow")
+
+
+def q_doc_jaccard_pairs(sf_dir: str):
+    from ..stages.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(sf_dir, ["source", "doc_id", "text"]))
+
+
+def q_knn_topk(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.knn import knn_brute
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_brute(ds, query_ids=list(range(8)), k=10)
+
+
+def q_events_window(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.windows import tumbling_window
+    return tumbling_window(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                           columns=["user_id", "ts",
+                                                    "value"]))
+
+
+def q_events_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.windows import sessionize
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                      columns=["user_id", "ts"]))
+
+
+def q_q1(sf_dir: str):
+    from ..stages.relational import q1_pricing_summary
+    return q1_pricing_summary(sf_dir)
+
+
+def q_orders_by_nation(sf_dir: str):
+    from ..stages.relational import orders_by_nation
+    return orders_by_nation(sf_dir)
+
+
+def q_top_orders(sf_dir: str):
+    from ..stages.relational import top_orders
+    return top_orders(sf_dir)
+
+
+def q_part_type_stats(sf_dir: str):
+    from ..stages.relational import part_type_stats
+    return part_type_stats(sf_dir)
+
+
+# --- rows-only (no SQL oracle; verified in pytest instead) -----------------
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs, Jaccard-verified ≥ 0.7."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import minhash_dedup_pairs
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]), dmap)
+
+
+def q_doc_simhash(sf_dir: str):
+    from ..stages.dedup import simhash_dataset
+    return simhash_dataset(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from ..stages.text_analysis import fingerprint_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+
+
+def q_knn_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.knn import knn_lsh
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_lsh(ds, query_ids=list(range(8)), k=10)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import embedding_neardup_pairs
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+TABLE_QUERIES = {
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "knn_topk": q_knn_topk,
+    "events_window": q_events_window,
+    "events_sessions": q_events_sessions,
+    "q1_pricing_summary": q_q1,
+    "orders_by_nation": q_orders_by_nation,
+    "top_orders": q_top_orders,
+    "part_type_stats": q_part_type_stats,
+}
+
+ROWS_ONLY_QUERIES = {
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_simhash": q_doc_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_lsh": q_knn_lsh,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+
 def build_queries() -> dict:
     """Full driver-facing query registry (grows as operators land)."""
-    return dict(KG_QUERIES)
+    out = dict(KG_QUERIES)
+    out.update(TABLE_QUERIES)
+    out.update(ROWS_ONLY_QUERIES)
+    return out
 
 
 def build_oracles(sf_dir: str) -> dict:
-    """Oracle SQL per query name, bound to ``sf_dir``'s corpus cache."""
+    """Oracle SQL per query name (rows-only queries intentionally absent)."""
     from ..oracle import KG_ORACLES
-    return {name: builder(sf_dir) for name, builder in KG_ORACLES.items()}
+    from ..oracle_tables import TABLE_ORACLES
+    out = {name: builder(sf_dir) for name, builder in KG_ORACLES.items()}
+    out.update(TABLE_ORACLES)
+    return out

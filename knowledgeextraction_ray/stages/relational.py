@@ -1,0 +1,126 @@
+"""Relational operator pipelines over the TPC-H-ish tables.
+
+Demonstrate the engine's groupby-aggregate (reference G1–G4 analogs),
+broadcast join (J1–J3 analogs) and sort/limit (T-family) on standard star
+schema inputs, with exact-value SQL oracles:
+
+- pruned reads (``columns=``),
+- filter pushed into a vectorized ``map_batches`` mask,
+- float sums as scaled int64 (hash-exact, order-independent),
+- small dimension side broadcast into the fact scan (no shuffle join).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped: filtered lineitem aggregate by returnflag/linestatus.
+
+    sums in cents (e2) / e4 scaled ints for exactness."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch["l_shipdate"],
+                             pa.scalar("1998-09-02").cast(pa.timestamp("us")))
+        batch = batch.filter(mask)
+        qty_e2 = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0)),
+                         pa.int64())
+        price_e2 = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)),
+            pa.int64())
+        disc_e4 = pc.cast(pc.round(pc.multiply(batch["l_discount"], 10_000.0)),
+                          pa.int64())
+        return pa.Table.from_pydict({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_e2": qty_e2, "price_e2": price_e2, "disc_e4": disc_e4,
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty_e2", alias_name="sum_qty_e2"),
+                       Sum("price_e2", alias_name="sum_price_e2"),
+                       Sum("disc_e4", alias_name="sum_disc_e4"),
+                       Count(alias_name="count_order")))
+
+
+class JoinCustomerNation:
+    """Broadcast join: orders ⋈ customer ⋈ nation via a ray.put'd dict —
+    the dimension tables never shuffle; one object-store copy per node."""
+
+    def __init__(self, cust_ref):
+        self.cust_to_nation = ray.get(cust_ref) if \
+            not isinstance(cust_ref, dict) else cust_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nations = [self.cust_to_nation.get(c, "UNKNOWN")
+                   for c in batch["o_custkey"].to_pylist()]
+        total_e2 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                           pa.int64())
+        return pa.Table.from_pydict({
+            "n_name": pa.array(nations, pa.string()),
+            "total_e2": total_e2,
+        })
+
+
+def orders_by_nation(sf_dir: str):
+    """→ (n_name, n_orders, sum_total_e2): orders joined through customer to
+    nation, aggregated per nation."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+    cmap = {c: nmap.get(nk, "UNKNOWN")
+            for c, nk in zip(cust["c_custkey"].to_pylist(),
+                             cust["c_nationkey"].to_pylist())}
+    ref = ray.put(cmap)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    return (orders.map_batches(
+                JoinCustomerNation, fn_constructor_kwargs={"cust_ref": ref},
+                batch_format="pyarrow", concurrency=(1, 4))
+            .groupby("n_name")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("total_e2", alias_name="sum_total_e2")))
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """→ top-k orders by totalprice (sort + limit; deterministic tie-break
+    on orderkey)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def part_type_stats(sf_dir: str):
+    """→ per p_type: n_parts, min/max retail price in cents (Min/Max/Count
+    aggregate family, exact values)."""
+    from ray.data.aggregate import Max, Min
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_type", "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "p_type": batch["p_type"],
+            "price_e2": pc.cast(
+                pc.round(pc.multiply(batch["p_retailprice"], 100.0)),
+                pa.int64()),
+        })
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("p_type")
+            .aggregate(Count(alias_name="n_parts"),
+                       Min("price_e2", alias_name="min_price_e2"),
+                       Max("price_e2", alias_name="max_price_e2")))

@@ -1,0 +1,117 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline staples: token counting, quality scoring,
+language-ID, document fingerprinting. All per-batch vectorized
+(``pyarrow.compute`` regex kernels — RE2, the same engine DuckDB uses, so
+counts match the SQL oracles exactly). Counts are emitted as INTEGERS (not
+ratios) so the value-hash comparison is exact; derived flags use integer
+arithmetic only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORD_RE = r"\b(the|a|of|and|to|in|is)\b"
+
+# marker-word regexes per language for the n-gram/stopword-vote heuristic
+LANG_MARKERS = {
+    "de": r"\b(der|die|das|und|nicht)\b",
+    "en": r"\b(the|a|of)\b",
+    "es": r"\b(el|los|las|una)\b",
+    "fr": r"\b(le|la|les|des)\b",
+}
+
+
+def _count(col, pattern) -> pa.Array:
+    return pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "doc_id": batch["doc_id"],
+        "n_tokens": _count(batch["text"], TOKEN_RE),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality signals + flag.
+
+    quality_ok ⇔ n_tokens ≥ 20 AND 100·n_punct < 10·n_chars (punct ratio
+    < 10%) AND 100·n_stop ≥ 2·n_tokens (stopword ratio ≥ 2%) — all integer
+    comparisons, bit-identical to the SQL oracle."""
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = _count(text, TOKEN_RE)
+    n_punct = _count(text, PUNCT_RE)
+    n_stop = _count(text, STOPWORD_RE)
+    nc = n_chars.to_numpy()
+    nt = n_tokens.to_numpy()
+    np_ = n_punct.to_numpy()
+    ns = n_stop.to_numpy()
+    ok = (nt >= 20) & (100 * np_ < 10 * nc) & (100 * ns >= 2 * nt)
+    return pa.Table.from_pydict({
+        "doc_id": batch["doc_id"], "n_chars": n_chars,
+        "n_tokens": n_tokens, "n_punct": n_punct, "n_stopwords": n_stop,
+        "quality_ok": pa.array(ok, pa.bool_()),
+    })
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word vote; argmax count, tie-break alphabetical lang code;
+    all-zero votes → 'und'."""
+    text = batch["text"]
+    langs = sorted(LANG_MARKERS)
+    votes = np.stack([_count(text, LANG_MARKERS[l]).to_numpy()
+                      for l in langs], axis=1)
+    best = votes.argmax(axis=1)          # first (alphabetical) wins ties
+    pred = np.array(langs, dtype=object)[best]
+    pred[votes.max(axis=1) == 0] = "und"
+    return pa.Table.from_pydict({
+        "doc_id": batch["doc_id"],
+        "pred_lang": pa.array(pred.tolist(), pa.string()),
+    })
+
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprints(text: str, k: int = 16, window: int = 8) -> list[int]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 scheme):
+    k-gram Rabin-Karp rolling hashes, min per sliding window, deduped in
+    order. Deterministic; no SQL equivalent (rows-only check)."""
+    data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    n = len(data)
+    if n < k:
+        return []
+    # polynomial rolling hash of every k-gram, vectorized via cumulative trick
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * _FP_BASE) & _FP_MASK
+    grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    hashes = (grams * powers[::-1]).sum(axis=1, dtype=np.uint64) & _FP_MASK
+    if len(hashes) <= window:
+        return [int(hashes.min())]
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+    out, prev = [], None
+    for v in mins:
+        if v != prev:
+            out.append(int(v))
+            prev = v
+    return out
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    fps = [rolling_fingerprints(t) for t in texts]
+    return pa.Table.from_pydict({
+        "doc_id": batch["doc_id"],
+        "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+        "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+    })

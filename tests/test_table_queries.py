@@ -1,0 +1,150 @@
+"""Oracle-parity tests for the operators over the provided tables, plus
+property tests (planted duplicates) for the rows-only sketch operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from knowledgeextraction_ray.compare import compare
+from knowledgeextraction_ray.oracle_tables import TABLE_ORACLES
+from knowledgeextraction_ray.pipelines.queries import TABLE_QUERIES
+
+
+@pytest.mark.parametrize("name", list(TABLE_QUERIES))
+def test_table_query_matches_duckdb_oracle(sf_dir, name):
+    ok, msg = compare(TABLE_QUERIES[name](sf_dir), TABLE_ORACLES[name],
+                      sf_dir=sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def _docs_with_dupes():
+    """20 distinct docs + 3 exact dupes + 2 near-dupes (one word changed)."""
+    rs = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [" ".join(rs.choice(vocab, 60)) for _ in range(20)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    rows.append({"doc_id": 100, "text": texts[0]})            # exact dup
+    rows.append({"doc_id": 101, "text": texts[1]})            # exact dup
+    rows.append({"doc_id": 102, "text": texts[1]})            # exact dup
+    near = texts[2].split()
+    near[5] = "omega"
+    rows.append({"doc_id": 103, "text": " ".join(near)})      # near dup of 2
+    near2 = texts[3].split()
+    near2[0] = "omega"
+    rows.append({"doc_id": 104, "text": " ".join(near2)})     # near dup of 3
+    return rows
+
+
+def test_exact_dedup_planted():
+    from knowledgeextraction_ray.stages.dedup import exact_dedup
+    rows = _docs_with_dupes()
+    out = exact_dedup(rd.from_items(rows)).to_pandas()
+    dup_groups = out[out["n_dups"] > 1].sort_values("rep_doc_id")
+    assert list(dup_groups["n_dups"]) == [2, 3]
+    assert list(dup_groups["rep_doc_id"]) == [0, 1]
+
+
+def test_minhash_lsh_finds_planted_neardups():
+    from knowledgeextraction_ray.stages.dedup import minhash_dedup_pairs
+    rows = _docs_with_dupes()
+    dmap = {r["doc_id"]: r["text"] for r in rows}
+    pairs = minhash_dedup_pairs(rd.from_items(rows), dmap,
+                                threshold=0.7).to_pandas()
+    got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+    assert (0, 100) in got                 # exact dup pair found
+    assert (1, 101) in got and (1, 102) in got and (101, 102) in got
+    assert (2, 103) in got                 # near dup found
+    assert (3, 104) in got
+    # verified jaccard of an exact pair is 1.0
+    exact = pairs[(pairs["doc_id_a"] == 0) & (pairs["doc_id_b"] == 100)]
+    assert float(exact["jaccard"].iloc[0]) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    """Signature agreement rate ≈ true shingle Jaccard (property check)."""
+    from knowledgeextraction_ray.stages.dedup import (MinHasher,
+                                                      shingle_jaccard)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown cat jumps over the lazy dog " * 5
+    mh = MinHasher(num_hashes=256)
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    true = shingle_jaccard(a, b)
+    assert abs(est - true) < 0.12
+
+
+def test_simhash_properties():
+    from knowledgeextraction_ray.stages.dedup import SimHasher
+    sh = SimHasher()
+    a = "alpha beta gamma delta " * 10
+    b = "alpha beta gamma delta " * 10
+    c = "totally different words entirely distinct tokens"
+    assert sh.simhash(a) == sh.simhash(b)
+    ham = bin((sh.simhash(a) ^ sh.simhash(c)) & (2**64 - 1)).count("1")
+    assert ham > 10
+
+
+def test_embedding_neardup_planted():
+    from knowledgeextraction_ray.stages.dedup import embedding_neardup_pairs
+    rs = np.random.RandomState(9)
+    vecs = rs.standard_normal((50, 64))
+    vecs[40] = vecs[0] + rs.standard_normal(64) * 0.01   # near-dup of 0
+    vecs[41] = vecs[1]                                   # exact dup of 1
+    rows = [{"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()}
+            for i in range(50)]
+    out = embedding_neardup_pairs(rd.from_items(rows),
+                                  threshold=0.95).to_pandas()
+    got = set(zip(out["vec_id_a"], out["vec_id_b"]))
+    assert (0, 40) in got and (1, 41) in got
+
+
+def test_knn_lsh_finds_planted_neighbors():
+    """On isotropic random data LSH recall is near the scan fraction (no
+    structure to exploit); the correctness property is that PLANTED
+    high-cosine neighbors land in the query's bucket and rank first."""
+    from knowledgeextraction_ray.stages.knn import knn_brute, knn_lsh
+    rs = np.random.RandomState(17)
+    vecs = rs.standard_normal((200, 64))
+    for q in range(4):
+        vecs[100 + q] = vecs[q] + rs.standard_normal(64) * 0.05
+    rows = [{"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()}
+            for i in range(200)]
+    ds = rd.from_items(rows)
+    brute = knn_brute(ds, query_ids=[0, 1, 2, 3], k=3)
+    approx = knn_lsh(ds, query_ids=[0, 1, 2, 3], k=3, bits=6)
+    for q in range(4):
+        top_b = brute[brute["q_id"] == q].iloc[0]["neighbor_id"]
+        top_a = approx[approx["q_id"] == q].iloc[0]["neighbor_id"]
+        assert top_b == 100 + q            # brute finds the planted neighbor
+        assert top_a == 100 + q            # LSH keeps it (same bucket)
+    assert (approx.groupby("q_id")["rank"].min() == 1).all()
+
+
+def test_fingerprints_deterministic_and_shift_invariant():
+    from knowledgeextraction_ray.stages.text_analysis import (
+        rolling_fingerprints)
+    t = "def alpha(): return beta(gamma) " * 8
+    assert rolling_fingerprints(t) == rolling_fingerprints(t)
+    # shared content → shared fingerprints despite prefix shift
+    f1 = set(rolling_fingerprints("PREFIX123 " + t))
+    f2 = set(rolling_fingerprints(t))
+    inter = len(f1 & f2) / max(1, len(f2))
+    assert inter > 0.5
+
+
+def test_sessionize_semantics():
+    """Hand-built event stream: two users, one with a >30min gap."""
+    from knowledgeextraction_ray.stages.windows import sessionize
+    rows = [
+        {"user_id": 1, "ts": pd.Timestamp("2020-01-01 10:00:00")},
+        {"user_id": 1, "ts": pd.Timestamp("2020-01-01 10:10:00")},
+        {"user_id": 1, "ts": pd.Timestamp("2020-01-01 11:00:00")},  # gap 50m
+        {"user_id": 2, "ts": pd.Timestamp("2020-01-01 09:00:00")},
+    ]
+    out = sessionize(rd.from_items(rows)).to_pandas()
+    out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert len(out) == 3
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["session_id"]) == [0, 1]
+    assert list(u1["n_events"]) == [2, 1]
