@@ -229,12 +229,84 @@ TABLE_QUERIES = {
     "part_type_stats": q_part_type_stats,
 }
 
+def q_ner_eval_prf(sf_dir: str):
+    """Distributed conlleval (the P/R ≥ 0.95 gate): gold ⋈ pred on guid →
+    chunk-count partials → global metrics (one row)."""
+    from .evaluate import ner_eval
+    return ner_eval(sf_dir)
+
+
+def q_mrc_nbest(sf_dir: str):
+    """MRC fan-out/fan-in: (file × question) n-best entity lists."""
+    from ..stages.mrc import mrc_pipeline
+    from .kg import read_corpus
+    return mrc_pipeline(read_corpus(sf_dir))
+
+
+def q_nre_relations(sf_dir: str):
+    """Relation extraction over (def → call) mention pairs."""
+    from ..stages.nre import nre_pipeline
+    from ..stages.ner_scorer import score_dataset
+    from ..stages.segmenter import segment_dataset
+    from .kg import read_corpus
+    cfg = PipelineConfig()
+    scored = score_dataset(segment_dataset(read_corpus(sf_dir), cfg.segment),
+                           cfg.scorer, cfg.segment)
+    return nre_pipeline(scored)
+
+
+def q_prep_tagger_records(sf_dir: str):
+    """Prep pipeline output (train split) row count + char/label invariants
+    checked downstream; returns the train tagger records."""
+    from ..stages.mentions import recover_mentions  # noqa: F401
+    from .kg import read_corpus
+    from .prep import prep_pipeline
+    from ..pipelines.evaluate import GoldTagger  # noqa: F401
+    import pyarrow as pa
+
+    from ..corpus import MENTION_PATTERNS
+    import re
+
+    def docs_from_corpus(batch: pa.Table) -> pa.Table:
+        """corpus → gold doc records (guid, text, entities) via grammar."""
+        pats = [(lab, re.compile(p)) for lab, p in MENTION_PATTERNS.items()]
+        out = {"guid": [], "text": [], "entities": []}
+        from ..functions.hashing import sha256_hex
+        for content in batch["content"].to_pylist():
+            ents = []
+            for lab, pat in pats:
+                for m in pat.finditer(content):
+                    s, e = m.span(1)
+                    ents.append({"label_type": lab, "start_pos": s,
+                                 "end_pos": e})
+            out["guid"].append(sha256_hex(content))
+            out["text"].append(content)
+            out["entities"].append(ents)
+        ent_t = pa.list_(pa.struct([("label_type", pa.string()),
+                                    ("start_pos", pa.int32()),
+                                    ("end_pos", pa.int32())]))
+        return pa.Table.from_pydict({
+            "guid": pa.array(out["guid"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+            "entities": pa.array(out["entities"], ent_t),
+        })
+
+    docs = read_corpus(sf_dir).map_batches(docs_from_corpus,
+                                           batch_format="pyarrow")
+    train, dev, test = prep_pipeline(docs)
+    return train
+
+
 ROWS_ONLY_QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash": q_doc_simhash,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_lsh": q_knn_lsh,
     "embedding_neardup": q_embedding_neardup,
+    "ner_eval_prf": q_ner_eval_prf,
+    "mrc_nbest": q_mrc_nbest,
+    "nre_relations": q_nre_relations,
+    "prep_tagger_records": q_prep_tagger_records,
 }
 
 

@@ -1,0 +1,109 @@
+"""Keyed joins (reference J4/J5 restated).
+
+The reference joins by POSITION (``zip(predict_examples, result)``,
+``run_crf_albert.py:333-334``) — its biggest fragility (dropped HTTP batches
+silently misalign the zip, ``eval_estimator.py:78-85``). Here every row
+carries a key and joins are explicit:
+
+- ``hash_join``: Ray's native hash-partitioned ``Dataset.join`` when both
+  sides are large.
+- ``bucketed_join``: the portable pattern — add ``bucket = hash(key) % B``
+  to both sides, union with a side tag, group by bucket, pandas-merge inside
+  each bucket. One shuffle, vectorized merge, B controls reduce fan-in.
+- ``broadcast_semi_join`` / ``broadcast_anti_join``: key-set broadcast +
+  vectorized membership filter (no shuffle) for small right sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash64
+
+
+def hash_join(left, right, on: str, num_partitions: int = 16,
+              join_type: str = "inner"):
+    """Native Ray hash join (both sides shuffle on the key)."""
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions, on=(on,))
+
+
+def bucketed_join(left, right, on: str, num_buckets: int = 32,
+                  how: str = "inner"):
+    """Explicit partitioned hash join via one groupby over bucketed union.
+
+    Scales: each side is hashed on the key once; a bucket holds ~1/B of each
+    side and the in-bucket merge is a vectorized pandas hash join."""
+    l_cols = [n for n in left.schema().names]
+    r_cols = [n for n in right.schema().names]
+    l_only = [c for c in l_cols if c != on and c not in r_cols]
+    r_only = [c for c in r_cols if c != on and c not in l_cols]
+    l_schema = {f.name: f.type for f in left.schema().base_schema}
+    r_schema = {f.name: f.type for f in right.schema().base_schema}
+
+    def tag(side: str, pad_cols, pad_types, order):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[on].to_pylist()
+            b = (stable_hash64([str(k) for k in keys]) % num_buckets)
+            batch = batch.append_column("__bucket",
+                                        pa.array(b.astype(np.int32)))
+            batch = batch.append_column("__side",
+                                       pa.array([side] * len(batch)))
+            for c in pad_cols:                    # null-pad to common schema
+                batch = batch.append_column(
+                    c, pa.nulls(len(batch), type=pad_types[c]))
+            return batch.select(order)
+        return fn
+
+    order = [on] + sorted(set(l_cols + r_cols) - {on}) + ["__bucket",
+                                                          "__side"]
+    unioned = (
+        left.map_batches(tag("L", r_only, r_schema, order),
+                         batch_format="pyarrow")
+        .union(right.map_batches(tag("R", l_only, l_schema, order),
+                                 batch_format="pyarrow")))
+
+    def _restore_ints(df: pd.DataFrame, schema) -> pd.DataFrame:
+        # null-padding the union upcast int columns to float64; once a side
+        # is filtered back out, its columns are null-free → cast back
+        for c in df.columns:
+            if c in schema and pa.types.is_integer(schema[c]) and \
+                    df[c].dtype == np.float64:
+                df[c] = df[c].astype("int64")
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = _restore_ints(
+            g[g["__side"] == "L"][[on] + [c for c in l_cols if c != on]],
+            l_schema)
+        rg = _restore_ints(
+            g[g["__side"] == "R"][[on] + [c for c in r_cols if c != on]],
+            r_schema)
+        return lg.merge(rg, on=on, how=how)
+
+    return unioned.groupby("__bucket").map_groups(merge,
+                                                  batch_format="pandas")
+
+
+def broadcast_semi_join(ds, key_col: str, keys_ref, anti: bool = False):
+    """Filter ``ds`` to rows whose key is (not) in the broadcast key set."""
+    import ray
+
+    class Filt:
+        def __init__(self, ref):
+            keys = ray.get(ref) if not isinstance(ref, (set, list)) else ref
+            self.value_set = pa.array(sorted(keys))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[key_col], value_set=self.value_set)
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    ref = keys_ref if isinstance(keys_ref, ray.ObjectRef) \
+        else ray.put(keys_ref)
+    return ds.map_batches(Filt, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", concurrency=(1, 4))

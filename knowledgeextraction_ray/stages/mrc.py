@@ -1,0 +1,192 @@
+"""MRC (question-prompted span extraction) — the reference's only true
+fan-out/fan-in computation, restated (SURVEY.md §3.4).
+
+Reference flow (``nermodels/mrc_albert.py:82-150``, ``utils/mrc_utils.py``):
+one example fans out to k sliding-window doc-span FEATURES (M11), the model
+scores top start/end candidates per feature, and ``get_predictions_v2`` fans
+back in per example (G1): average start/end log-probs per (start, end) cell,
+sort desc, dedup by answer text (first-wins in score order — kept
+deterministic here by a total (score, start, end) order), softmax over the
+kept scores, averaged cls logit as the no-answer odds.
+
+Here: explode → actor-pool score → bucketed group merge. The merge groups on
+``hash(example_id) % B`` and runs a vectorized pandas groupby inside each
+bucket, so the per-example Python work never becomes a per-group task.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..corpus import MENTION_PATTERNS
+from ..functions.hashing import stable_hash64
+
+# entity-type prompts (reference builds the question from the entity type,
+# ``nermodels/mrc_albert.py:181-185``)
+QUESTIONS = {
+    "FUNC": "Which functions are defined?",
+    "CLASS": "Which classes are defined?",
+    "IMPORT": "Which modules are imported?",
+    "CALL": "Which functions are called?",
+}
+QTYPE_OF = {q: t for t, q in QUESTIONS.items()}
+
+
+def build_examples(batch: pa.Table) -> pa.Table:
+    """corpus batch → MRC examples: one (file × question) per type."""
+    out = {"example_id": [], "question": [], "context": []}
+    from ..functions.hashing import sha256_hex
+    for content in batch["content"].to_pylist():
+        sha = sha256_hex(content)
+        for qtype, q in QUESTIONS.items():
+            out["example_id"].append(f"{sha}:{qtype}")
+            out["question"].append(q)
+            out["context"].append(content)
+    return pa.Table.from_pydict(out)
+
+
+def explode_features(batch: pa.Table, max_span: int = 200,
+                     stride: int = 100) -> pa.Table:
+    """example → sliding-window doc-span features (M11 analog).
+
+    Char-level, so the reference's tok↔orig index maps are identity; the
+    window bookkeeping (span_start, doc_span_index) is kept exactly."""
+    out = {"example_id": [], "question": [], "doc_span_index": [],
+           "span_start": [], "span_text": []}
+    for ex, q, ctx in zip(batch["example_id"].to_pylist(),
+                          batch["question"].to_pylist(),
+                          batch["context"].to_pylist()):
+        starts = list(range(0, max(1, len(ctx) - max_span + stride), stride))
+        for i, s in enumerate(starts):
+            out["example_id"].append(ex)
+            out["question"].append(q)
+            out["doc_span_index"].append(i)
+            out["span_start"].append(s)
+            out["span_text"].append(ctx[s:s + max_span])
+    return pa.Table.from_pydict(out)
+
+
+class MrcSpanScorer:
+    """Actor: per-feature candidate spans with deterministic log-probs.
+
+    Stand-in for the ALBERT squad-v2 head (start_n_top × end_n_top beam,
+    ``mrc_albert.py:63-65``): candidates are grammar matches inside the span;
+    start/end log-probs decay with intra-span rank; cls_logit is the
+    no-answer signal (positive when the feature has no candidate)."""
+
+    def __init__(self, start_n_top: int = 5):
+        self.patterns = {t: re.compile(p)
+                         for t, p in MENTION_PATTERNS.items()}
+        self.n_top = start_n_top
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"example_id": [], "doc_span_index": [], "span_start": [],
+               "cand_start": [], "cand_end": [], "start_log_prob": [],
+               "end_log_prob": [], "cls_logit": [], "answer_text": []}
+        for ex, q, dsi, s0, text in zip(
+                batch["example_id"].to_pylist(),
+                batch["question"].to_pylist(),
+                batch["doc_span_index"].to_pylist(),
+                batch["span_start"].to_pylist(),
+                batch["span_text"].to_pylist()):
+            qtype = QTYPE_OF[q]
+            pat = self.patterns[qtype]
+            cands = [(m.span(1)) for m in pat.finditer(text)][: self.n_top]
+            if not cands:
+                out["example_id"].append(ex)
+                out["doc_span_index"].append(dsi)
+                out["span_start"].append(s0)
+                out["cand_start"].append(-1)
+                out["cand_end"].append(-1)
+                out["start_log_prob"].append(-1e4)
+                out["end_log_prob"].append(-1e4)
+                out["cls_logit"].append(5.0)       # confident no-answer
+                out["answer_text"].append("")
+                continue
+            for rank, (cs, ce) in enumerate(cands):
+                out["example_id"].append(ex)
+                out["doc_span_index"].append(dsi)
+                out["span_start"].append(s0)
+                out["cand_start"].append(s0 + cs)   # GLOBAL char offsets
+                out["cand_end"].append(s0 + ce)
+                out["start_log_prob"].append(-0.1 * rank)
+                out["end_log_prob"].append(-0.05 * rank)
+                out["cls_logit"].append(-5.0)
+                out["answer_text"].append(text[cs:ce])
+        return pa.Table.from_pydict(out)
+
+
+def _softmax(scores: np.ndarray) -> np.ndarray:
+    """Numerically-stable softmax (``mrc_utils.py:19-39``)."""
+    if len(scores) == 0:
+        return scores
+    z = scores - scores.max()
+    e = np.exp(z)
+    return e / e.sum()
+
+
+def _merge_example(g: pd.DataFrame, n_best: int) -> dict:
+    """Fan-in for ONE example (G1): mean log-probs per (start, end) cell →
+    sort desc (total, then (start,end) asc for a TOTAL order) → text dedup
+    first-wins → softmax → na_prob = mean cls logit."""
+    na_prob = float(g["cls_logit"].mean())
+    real = g[g["cand_start"] >= 0]
+    if len(real) == 0:
+        return {"entities": [], "probabilities": [], "na_prob": na_prob}
+    cell = (real.groupby(["cand_start", "cand_end"])
+            .agg(s=("start_log_prob", "mean"), e=("end_log_prob", "mean"),
+                 text=("answer_text", "first"))
+            .reset_index())
+    cell["total"] = cell["s"] + cell["e"]
+    cell = cell.sort_values(["total", "cand_start", "cand_end"],
+                            ascending=[False, True, True], kind="mergesort")
+    seen: set[str] = set()
+    kept = []
+    for _, row in cell.iterrows():
+        if row["text"] in seen:
+            continue
+        seen.add(row["text"])
+        kept.append(row)
+        if len(kept) >= n_best:
+            break
+    totals = np.array([r["total"] for r in kept])
+    probs = _softmax(totals)
+    return {"entities": [r["text"] for r in kept],
+            "probabilities": [float(p) for p in probs],
+            "na_prob": na_prob}
+
+
+def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32):
+    """feature-level predictions → per-example n-best rows."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = stable_hash64(batch["example_id"].to_pylist()) % num_buckets
+        return batch.append_column("bucket",
+                                   pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ex, sub in g.groupby("example_id", sort=True):
+            m = _merge_example(sub, n_best)
+            rows.append({"example_id": ex, **m})
+        return pd.DataFrame(rows, columns=["example_id", "entities",
+                                           "probabilities", "na_prob"])
+
+    return (scored.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def mrc_pipeline(corpus_ds, max_span: int = 200, stride: int = 100,
+                 n_best: int = 20):
+    """corpus → per-(file × question) n-best entity lists."""
+    examples = corpus_ds.map_batches(build_examples, batch_format="pyarrow")
+    feats = examples.map_batches(
+        lambda b: explode_features(b, max_span, stride),
+        batch_format="pyarrow")
+    scored = feats.map_batches(MrcSpanScorer, batch_format="pyarrow",
+                               concurrency=(1, 8))
+    return nbest_merge(scored, n_best)

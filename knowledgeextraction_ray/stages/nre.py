@@ -1,0 +1,141 @@
+"""NRE — relation extraction over mention pairs (reference A4/M12).
+
+Reference flow (``nremodels/albert_encoder.py:49-119``, ``models.py:20-81``):
+a record carries a sentence plus head/tail entity char spans; the tokenizer
+wraps the entities in reserved marker tokens ``[unused0..3]`` recording the
+marker positions, and a SoftmaxNN head scores relation labels.
+
+Here:
+
+- **pair generation** is a per-segment transform: each CALL mention is paired
+  with the nearest preceding FUNC mention in the same segment (the enclosing
+  ``def``) — deterministic, row-local.
+- **entity-marker featurization** (M12 parity): char ids with marker ids
+  spliced around head/tail spans, pos1/pos2 marker indices, pad/truncate to
+  ``max_length``, attention mask.
+- **scoring** is an actor pool consuming the marked id tensors; the
+  deterministic stand-in head emits (relation, score) with score derived
+  from a stable hash of the marked sequence — the drop-in point for a real
+  OpenNRE-style encoder head.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.bio import bio_to_spans
+from ..functions.featurize import CHAR2ID, PAD_ID, UNK_ID, VOCAB_SIZE
+from ..functions.hashing import stable_hash64
+from .ner_scorer import LABEL_LIST
+
+# reserved marker ids appended after the char vocab ([unused0..3] analog)
+HEAD_OPEN, HEAD_CLOSE, TAIL_OPEN, TAIL_CLOSE = (
+    VOCAB_SIZE, VOCAB_SIZE + 1, VOCAB_SIZE + 2, VOCAB_SIZE + 3)
+
+PAIR_SCHEMA = pa.schema([
+    ("guid", pa.string()), ("repo", pa.string()), ("path", pa.string()),
+    ("text", pa.string()),
+    ("head_surface", pa.string()), ("tail_surface", pa.string()),
+    ("h_start", pa.int32()), ("h_end", pa.int32()),
+    ("t_start", pa.int32()), ("t_end", pa.int32()),
+])
+
+
+def build_pairs(batch: pa.Table) -> pa.Table:
+    """scored segments (text + tag_ids) → (head=def, tail=call) pair rows."""
+    out = {name: [] for name in PAIR_SCHEMA.names}
+    for guid, repo, path, text, tag_ids in zip(
+            batch["guid"].to_pylist(), batch["repo"].to_pylist(),
+            batch["path"].to_pylist(), batch["text"].to_pylist(),
+            batch["tag_ids"].to_pylist()):
+        labels = [LABEL_LIST[t] for t in tag_ids]
+        spans = bio_to_spans(labels)
+        cur_head = None
+        for (typ, s, e) in spans:
+            if typ == "FUNC":
+                cur_head = (s, e)
+            elif typ == "CALL" and cur_head is not None:
+                out["guid"].append(guid)
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["text"].append(text)
+                out["head_surface"].append(text[cur_head[0]:cur_head[1]])
+                out["tail_surface"].append(text[s:e])
+                out["h_start"].append(cur_head[0])
+                out["h_end"].append(cur_head[1])
+                out["t_start"].append(s)
+                out["t_end"].append(e)
+    return pa.Table.from_pydict(out, schema=PAIR_SCHEMA)
+
+
+def marker_featurize(text: str, h: tuple[int, int], t: tuple[int, int],
+                     max_length: int = 128):
+    """M12 parity: splice [unusedN] markers around head/tail spans.
+
+    Returns (ids, mask, pos1, pos2); pos1/pos2 are the positions of the
+    head-open / tail-open markers (or the last index when truncated away,
+    mirroring the reference's clamp)."""
+    events = sorted([(h[0], HEAD_OPEN), (h[1], HEAD_CLOSE),
+                     (t[0], TAIL_OPEN), (t[1], TAIL_CLOSE)],
+                    key=lambda x: (x[0], x[1]))
+    ids: list[int] = []
+    pos1 = pos2 = None
+    cursor = 0
+    for offset, marker in events:
+        for ch in text[cursor:offset]:
+            ids.append(CHAR2ID.get(ch, UNK_ID))
+        if marker == HEAD_OPEN:
+            pos1 = len(ids)
+        if marker == TAIL_OPEN:
+            pos2 = len(ids)
+        ids.append(marker)
+        cursor = offset
+    for ch in text[cursor:]:
+        ids.append(CHAR2ID.get(ch, UNK_ID))
+    ids = ids[:max_length]
+    mask = [1] * len(ids) + [0] * (max_length - len(ids))
+    ids = ids + [PAD_ID] * (max_length - len(ids))
+    clamp = max_length - 1
+    return (np.array(ids, dtype=np.int32), np.array(mask, dtype=np.int32),
+            min(pos1 if pos1 is not None else clamp, clamp),
+            min(pos2 if pos2 is not None else clamp, clamp))
+
+
+class NreScorer:
+    """Actor: marked-id tensors → (relation, score).
+
+    Deterministic head: relation 'calls' for (FUNC→CALL) pairs; score in
+    [0.5, 1.0) derived from a stable hash of the id sequence (a real
+    encoder+SoftmaxNN drops in here; ``nremodels/models.py:20-81``)."""
+
+    def __init__(self, max_length: int = 128):
+        self.max_length = max_length
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rels, scores, p1s, p2s = [], [], [], []
+        for text, hs, he, ts, te in zip(
+                batch["text"].to_pylist(),
+                batch["h_start"].to_pylist(), batch["h_end"].to_pylist(),
+                batch["t_start"].to_pylist(), batch["t_end"].to_pylist()):
+            ids, mask, pos1, pos2 = marker_featurize(
+                text, (hs, he), (ts, te), self.max_length)
+            h = int(stable_hash64([ids.tobytes().hex()])[0])
+            rels.append("calls")
+            scores.append(0.5 + (h % 10_000) / 20_000.0)
+            p1s.append(pos1)
+            p2s.append(pos2)
+        batch = batch.drop_columns(["text", "h_start", "h_end", "t_start",
+                                    "t_end"])
+        batch = batch.append_column("relation", pa.array(rels, pa.string()))
+        batch = batch.append_column("score", pa.array(scores, pa.float64()))
+        batch = batch.append_column("pos1", pa.array(p1s, pa.int32()))
+        batch = batch.append_column("pos2", pa.array(p2s, pa.int32()))
+        return batch
+
+
+def nre_pipeline(scored_segments):
+    """scored NER segments → relation-scored (head, tail) pairs."""
+    pairs = scored_segments.map_batches(build_pairs, batch_format="pyarrow")
+    return pairs.map_batches(NreScorer, batch_format="pyarrow",
+                             concurrency=(1, 4))

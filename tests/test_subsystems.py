@@ -1,0 +1,229 @@
+"""Tests for eval harness (P/R gate), MRC fan-out/fan-in, NRE, joins,
+sources, prep pipeline."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+# --------------------------------------------------------------------------
+# eval harness — the north-rule P/R ≥ 0.95 gate
+# --------------------------------------------------------------------------
+
+def test_ner_eval_perfect_parity(corpus_ready):
+    from knowledgeextraction_ray.pipelines.evaluate import ner_eval
+    m = ner_eval(corpus_ready).iloc[0]
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95   # the gate
+    assert m["precision"] == 1.0 and m["recall"] == 1.0     # exact parity
+    assert m["gold_chunks"] > 0
+
+
+def test_ner_eval_detects_corruption(corpus_ready):
+    from knowledgeextraction_ray.pipelines.evaluate import ner_eval
+    m = ner_eval(corpus_ready, corrupt_frac=0.3).iloc[0]
+    assert m["recall"] < 0.95                 # dropped segments hurt recall
+    assert m["precision"] == 1.0              # surviving tags still correct
+
+
+# --------------------------------------------------------------------------
+# MRC
+# --------------------------------------------------------------------------
+
+def _mrc_run(rows):
+    from knowledgeextraction_ray.stages.mrc import mrc_pipeline
+    return mrc_pipeline(rd.from_items(rows)).to_pandas()
+
+
+def test_mrc_nbest_merges_overlapping_windows():
+    # context long enough to fan out to several overlapping windows; the
+    # same def appears in 2 windows → its logprobs are averaged, text
+    # deduped, still one entity. Filler comments (not calls) pad the length
+    # so the alpha call stays inside the per-feature top-5 beam.
+    body = "\n".join(f"    v{i} = run(arg0)  # pad pad pad pad pad"
+                     for i in range(3))
+    pad = "\n".join(f"# filler line {i} with words" for i in range(6))
+    content = (f"def alpha(arg0):\n{body}\n{pad}\n"
+               f"def beta(arg0):\n    v0 = alpha(arg0)")
+    out = _mrc_run([{"repo": "r", "path": "p", "commit": "c",
+                     "lang": "python", "content": content}])
+    assert len(out) == 4                      # one row per question type
+    by_q = {ex.split(":")[1]: row for ex, row in
+            zip(out["example_id"], out.to_dict("records"))}
+    assert set(by_q["FUNC"]["entities"]) == {"alpha", "beta"}
+    assert sorted(by_q["CALL"]["entities"]) == ["alpha", "run"]
+    assert by_q["IMPORT"]["entities"] == []   # no imports → n/a
+    assert by_q["IMPORT"]["na_prob"] > 0      # confident no-answer
+    assert by_q["FUNC"]["na_prob"] < 0
+    # probabilities are a softmax: sum to 1 over kept entities
+    probs = by_q["FUNC"]["probabilities"]
+    assert abs(sum(probs) - 1.0) < 1e-9
+
+
+def test_mrc_dedup_first_wins_deterministic():
+    from knowledgeextraction_ray.stages.mrc import _merge_example
+    g = pd.DataFrame({
+        "cls_logit": [-5.0, -5.0],
+        "cand_start": [0, 10],
+        "cand_end": [5, 15],
+        "start_log_prob": [-0.1, -0.2],
+        "end_log_prob": [-0.1, -0.2],
+        "answer_text": ["foo", "foo"],       # same text, different cells
+    })
+    m = _merge_example(g, n_best=20)
+    assert m["entities"] == ["foo"]          # deduped, best-scoring kept
+    assert len(m["probabilities"]) == 1
+
+
+# --------------------------------------------------------------------------
+# NRE
+# --------------------------------------------------------------------------
+
+def test_marker_featurize_positions():
+    from knowledgeextraction_ray.functions.featurize import CHAR2ID
+    from knowledgeextraction_ray.stages.nre import (HEAD_CLOSE, HEAD_OPEN,
+                                                    TAIL_CLOSE, TAIL_OPEN,
+                                                    marker_featurize)
+    text = "def f(x): y = g(x)"
+    h = (4, 5)   # f
+    t = (14, 15)  # g
+    ids, mask, pos1, pos2 = marker_featurize(text, h, t, max_length=32)
+    assert ids[pos1] == HEAD_OPEN
+    assert ids[pos2] == TAIL_OPEN
+    assert list(ids[pos1 + 1:pos1 + 2]) == [CHAR2ID["f"]]
+    assert ids[pos1 + 2] == HEAD_CLOSE
+    assert mask.sum() == len(text) + 4       # 4 markers inserted
+    # truncation clamps positions
+    ids2, _, p1, p2 = marker_featurize(text, h, t, max_length=10)
+    assert p1 < 10 and p2 < 10
+
+
+def test_nre_pipeline_pairs(corpus_ready):
+    from knowledgeextraction_ray.config import PipelineConfig
+    from knowledgeextraction_ray.pipelines.kg import read_corpus
+    from knowledgeextraction_ray.stages.ner_scorer import score_dataset
+    from knowledgeextraction_ray.stages.nre import nre_pipeline
+    from knowledgeextraction_ray.stages.segmenter import segment_dataset
+    cfg = PipelineConfig()
+    scored = score_dataset(
+        segment_dataset(read_corpus(corpus_ready), cfg.segment),
+        cfg.scorer, cfg.segment)
+    out = nre_pipeline(scored.limit(50)).to_pandas()
+    assert len(out) > 0
+    assert (out["relation"] == "calls").all()
+    assert ((out["score"] >= 0.5) & (out["score"] < 1.0)).all()
+    # deterministic: same input → same scores
+    out2 = nre_pipeline(scored.limit(50)).to_pandas()
+    a = out.sort_values(["guid", "head_surface", "tail_surface"]).reset_index(drop=True)
+    b = out2.sort_values(["guid", "head_surface", "tail_surface"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+def test_bucketed_join_matches_pandas():
+    from knowledgeextraction_ray.stages.joins import bucketed_join
+    left = rd.from_items([{"k": f"k{i % 7}", "a": i} for i in range(50)])
+    right = rd.from_items([{"k": f"k{i}", "b": i * 10} for i in range(5)])
+    got = (bucketed_join(left, right, on="k", num_buckets=4)
+           .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+    lp = pd.DataFrame([{"k": f"k{i % 7}", "a": i} for i in range(50)])
+    rp = pd.DataFrame([{"k": f"k{i}", "b": i * 10} for i in range(5)])
+    want = lp.merge(rp, on="k").sort_values(["k", "a"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], want)
+
+
+def test_broadcast_semi_and_anti_join():
+    from knowledgeextraction_ray.stages.joins import broadcast_semi_join
+    ds = rd.from_items([{"k": f"k{i}", "v": i} for i in range(10)])
+    keys = {"k1", "k3"}
+    semi = broadcast_semi_join(ds, "k", keys).to_pandas()
+    assert sorted(semi["k"]) == ["k1", "k3"]
+    anti = broadcast_semi_join(ds, "k", keys, anti=True).to_pandas()
+    assert len(anti) == 8 and "k1" not in set(anti["k"])
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+
+def test_conll_roundtrip(tmp_path):
+    from knowledgeextraction_ray.sources.conll import (format_conlleval,
+                                                       read_conll_text)
+    text = "John B-PER\nSmith I-PER\nworks O\n\nBerlin B-LOC\n"
+    sents = read_conll_text(text, normalize_digits=False)
+    assert len(sents) == 2
+    assert sents[0] == [("John", "B-PER"), ("Smith", "I-PER"),
+                        ("works", "O")]
+    line = format_conlleval(["John"], ["B-PER"], ["B-PER"])
+    assert line == "1 John _ _ B-PER B-PER\n"
+
+
+def test_conll_digit_normalization():
+    from knowledgeextraction_ray.sources.conll import read_conll_text
+    sents = read_conll_text("room42 O\n", normalize_digits=True)
+    assert sents[0][0][0] == "room00"
+
+
+def test_jsonl_scrub_and_parse():
+    from knowledgeextraction_ray.sources.jsonl import (parse_example_lines,
+                                                       parse_squad_lines,
+                                                       scrub_json_line)
+    assert scrub_json_line('junk{"a":1}trailing') == '{"a":1}'
+    assert scrub_json_line("no json here") is None
+    rows = parse_example_lines(
+        ['{"originalText":"ab","entities":[{"label_type":"T",'
+         '"start_pos":0,"end_pos":1}]}', "garbage"])
+    assert len(rows) == 1 and rows[0]["entities"] == [("T", 0, 1)]
+    assert rows[0]["guid"] == "test-0"
+    sq = parse_squad_lines(
+        ['{"context":"c","qas":[{"id":"q1","question":"w?",'
+         '"answers":[{"text":"c","answer_start":0}]},'
+         '{"id":"q2","question":"x?","is_impossible":true}]}'])
+    assert len(sq) == 2 and sq[1]["is_impossible"]
+
+
+# --------------------------------------------------------------------------
+# prep pipeline
+# --------------------------------------------------------------------------
+
+def _gold_docs():
+    ent = pa.list_(pa.struct([("label_type", pa.string()),
+                              ("start_pos", pa.int32()),
+                              ("end_pos", pa.int32())]))
+    text = "import alpha\ndef beta(x):\n    v0 = gamma(x)\n"
+    ents = [{"label_type": "IMPORT_RAW", "start_pos": 7, "end_pos": 12},
+            {"label_type": "FUNC", "start_pos": 17, "end_pos": 21}]
+    return rd.from_arrow(pa.Table.from_pydict({
+        "guid": pa.array(["d0"], pa.string()),
+        "text": pa.array([text], pa.string()),
+        "entities": pa.array([ents], ent),
+    }))
+
+
+def test_prep_label_mapping_and_bio(corpus_ready):
+    from knowledgeextraction_ray.pipelines.prep import prep_pipeline
+    train, dev, test = prep_pipeline(
+        _gold_docs(), label_map={"IMPORT_RAW": "IMPORT"})
+    rows = pd.concat([train.to_pandas(), dev.to_pandas(),
+                      test.to_pandas()])
+    assert len(rows) == 1
+    labels = rows.iloc[0]["token_labels"]
+    text = rows.iloc[0]["text"]
+    assert len(labels) == len(text)
+    assert labels[7] == "IMPORT-B"            # mapped label applied
+    assert labels[8] == "IMPORT-I"
+    assert labels[17] == "FUNC-B"
+
+
+def test_prep_split_proportions(corpus_ready):
+    from knowledgeextraction_ray.pipelines.queries import (
+        q_prep_tagger_records)
+    train = q_prep_tagger_records(corpus_ready)
+    n_train = train.count()
+    assert n_train > 0
+    # ~90% of ~1000 files (some produce 2 segments → ~1130 records total)
+    assert 900 <= n_train <= 1150
