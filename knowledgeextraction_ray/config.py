@@ -39,7 +39,7 @@ class ScorerConfig:
 
     decode: str = "argmax"           # "argmax" | "viterbi"
     batch_size: int = 512
-    concurrency: int = 4             # actor pool size
+    concurrency: int | None = None   # None → sized from the live cluster
     num_cpus: float = 1.0
 
 

@@ -188,7 +188,15 @@ def alias_path(sf_dir: str) -> str:
     return os.path.join(corpus_dir(sf_dir), "alias.parquet")
 
 
-_SHARD = 2500  # files per generated parquet shard
+def _shard_size(n_files: int) -> int:
+    """Files per generated parquet shard.
+
+    Small floor keeps multiple shards at smoke scale (wave/resume
+    granularity needs >1 file); the cap at ~128 shards keeps
+    ``read_parquet``'s driver-side metadata fetch cheap — it is SERIAL per
+    file (~7 ms each), so thousands of small shards put tens of seconds of
+    constant time on the driver."""
+    return max(250, -(-n_files // 128))
 
 
 def ensure_corpus(sf_dir: str, seed: int = SEED) -> str:
@@ -207,7 +215,8 @@ def ensure_corpus(sf_dir: str, seed: int = SEED) -> str:
     tmp = tempfile.mkdtemp(prefix="kgray_gen_", dir=CACHE_ROOT)
     cdir = os.path.join(tmp, "corpus")
     os.makedirs(cdir)
-    shards = [(lo, min(lo + _SHARD, n)) for lo in range(0, n, _SHARD)]
+    step = _shard_size(n)
+    shards = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
     if n <= 20_000:
         for si, (lo, hi) in enumerate(shards):
             pq.write_table(generate_files(range(lo, hi), seed),

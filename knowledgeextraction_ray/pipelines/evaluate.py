@@ -96,8 +96,9 @@ def ner_eval(sf_dir: str, cfg: PipelineConfig | None = None,
     # the read stages in small sessions (4-CPU test fixture) and deadlock.
     light_scorer = dataclasses.replace(cfg.scorer, num_cpus=0.5)
     segs = segment_dataset(read_corpus(sf_dir), cfg.segment)
+    from ..runtime import pool_size
     gold = segs.map_batches(GoldTagger, batch_format="pyarrow",
-                            concurrency=(1, 4), num_cpus=0.5)
+                            concurrency=(1, pool_size(0.5)), num_cpus=0.5)
     scored = score_dataset(segment_dataset(read_corpus(sf_dir), cfg.segment),
                            light_scorer, cfg.segment)
     pred = scored.map_batches(lambda b: _pred_tags(b, corrupt_frac),

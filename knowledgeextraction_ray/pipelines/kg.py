@@ -35,9 +35,19 @@ def read_corpus(sf_dir: str):
     return rd.read_parquet(corpus_parquet_dir(sf_dir))
 
 
-def linked_mentions(sf_dir: str, cfg: PipelineConfig | None = None):
+def linked_mentions(sf_dir: str, cfg: PipelineConfig | None = None,
+                    fused: bool = True):
+    """corpus → linked mention Dataset.
+
+    ``fused=True`` (default): the whole row-local chain runs in one actor
+    pool (stages/fused.py) — one pool owns the node, no inter-stage CPU
+    starvation, no intermediate blocks in the object store. ``fused=False``
+    composes the individual stages (same semantics, test-checked)."""
     cfg = cfg or PipelineConfig()
     ds = read_corpus(sf_dir)
+    if fused:
+        from ..stages.fused import fused_linked_mentions
+        return fused_linked_mentions(ds, cfg, alias_path(sf_dir))
     segs = segment_dataset(ds, cfg.segment)
     scored = score_dataset(segs, cfg.scorer, cfg.segment)
     ments = mentions_dataset(scored)
@@ -58,5 +68,8 @@ def kg_pipeline(sf_dir: str, cfg: PipelineConfig | None = None):
     linked = linked_mentions(sf_dir, cfg).materialize()
     canon = canonicalize_dataset(linked, cfg.canonicalize.num_salts)
     cmap = canonical_map_of(canon)
+    # scope="block": file-derived subjects never span input blocks, so the
+    # dedup is block-local — no triple-stream shuffle (see triples_dataset)
     return triples_dataset(linked, cmap,
-                           concurrency=cfg.scorer.concurrency)
+                           concurrency=cfg.scorer.concurrency,
+                           scope="block")

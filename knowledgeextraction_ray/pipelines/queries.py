@@ -43,19 +43,22 @@ def _mentions(sf_dir: str):
 
 
 def q_mentions(sf_dir: str):
-    """Mention counts per (file, label, surface) — NER output aggregate."""
-    return (_mentions(sf_dir)
-            .groupby(["repo", "path", "label", "surface"])
-            .aggregate(Count(alias_name="n")))
+    """Mention counts per (file, label, surface) — NER output aggregate.
+    Bucketed (high-cardinality key; see stages/groupagg.py)."""
+    from ..stages.groupagg import bucketed_agg
+    return bucketed_agg(_mentions(sf_dir),
+                        ["repo", "path", "label", "surface"], {},
+                        count_alias="n")
 
 
 def q_label_hist(sf_dir: str):
     """Label histogram (reference G4 Counter dumps, distributed)."""
-    from ray.data.aggregate import AggregateFn  # noqa: F401
+    from ..stages.groupagg import bucketed_agg
     ds = _mentions(sf_dir)
-    # count + approximate-free distinct via two-level aggregate:
-    per_surface = ds.groupby(["label", "surface"]).aggregate(
-        Count(alias_name="n_sub"))
+    # count + exact distinct via two-level aggregate (level 1 bucketed —
+    # high-cardinality (label, surface) key):
+    per_surface = bucketed_agg(ds, ["label", "surface"], {},
+                               count_alias="n_sub", num_buckets=16)
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:

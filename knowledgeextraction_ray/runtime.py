@@ -1,0 +1,42 @@
+"""Cluster-aware stage sizing.
+
+Pool sizes are resolved at pipeline-build time from the live cluster so the
+same code saturates a 4-CPU test fixture, a 32-CPU bench node, or a 256-node
+cluster. Rules:
+
+- upper bounds scale with total CPUs minus a reserve for the read/write
+  stages (a pool that books every CPU starves the reads and deadlocks the
+  streaming executor),
+- lower bound 1 actor and autoscaling ``(1, N)`` everywhere, so small
+  sessions degrade to fewer actors instead of deadlocking.
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus() -> int:
+    import ray
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 8))
+    return 8
+
+
+def pool_size(frac: float = 1.0, reserve: int = 2, lo: int = 2,
+              hi: int = 256) -> int:
+    """Max actors for a pool that should use ``frac`` of the non-reserved
+    CPUs."""
+    return max(lo, min(hi, int((cluster_cpus() - reserve) * frac)))
+
+
+def fixed_pool_size(lo: int = 1, hi: int = 256) -> int:
+    """FIXED actor count for a solo hot-path pool: 3/4 of the node, the rest
+    left to the read/write task stages.
+
+    Autoscaling ``(1, N)`` pools ramp from one actor under queue pressure —
+    on jobs of tens of seconds the ramp halves effective parallelism
+    (measured 18.8 s → 7.8 s switching the flagship pool to fixed). Fixed
+    pools are safe ONLY when a single pool runs at a time (the fused
+    flagship stage); concurrent-pool pipelines must keep autoscaling or
+    they deadlock the reads."""
+    cpus = cluster_cpus()
+    return max(lo, min(hi, cpus - max(2, cpus // 4)))

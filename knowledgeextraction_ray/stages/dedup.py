@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.hashing import sha256_column
 
@@ -42,10 +42,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             "text_sha": sha256_column(batch[text_col]),
             id_col: batch[id_col],
         })
-    return (ds.map_batches(add_sha, batch_format="pyarrow")
-            .groupby("text_sha")
-            .aggregate(Min(id_col, alias_name="rep_doc_id"),
-                       Count(alias_name="n_dups")))
+    from .groupagg import bucketed_agg
+    return bucketed_agg(ds.map_batches(add_sha, batch_format="pyarrow"),
+                        ["text_sha"],
+                        {"rep_doc_id": (id_col, "min")},
+                        count_alias="n_dups")
 
 
 # ---------------------------------------------------------------------------
@@ -102,9 +103,10 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
     base = np.uint64(1_000_003)
-    for i in range(1, k):
-        powers[i] = powers[i - 1] * base          # mod 2^64 wraparound, fine
-    h = (grams * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    with np.errstate(over="ignore"):              # mod-2^64 wraparound is
+        for i in range(1, k):                     # the intended semantics
+            powers[i] = powers[i - 1] * base
+        h = (grams * powers[::-1]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
 
 
@@ -165,40 +167,63 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
 
     explode to band rows → ``groupby(band_id, band_hash)`` → pairs within
     bucket → global pair dedup."""
+    from ..runtime import pool_size
     sigs = ds.map_batches(MinHasher,
                           fn_constructor_kwargs={"num_hashes": num_hashes,
                                                  "shingle_k": shingle_k},
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow",
+                          concurrency=(1, pool_size(1.0)))
     bands = sigs.map_batches(lambda b: _band_rows(b, num_bands),
                              batch_format="pyarrow")
 
     # group on a COARSE key (band_hash % 256): most true LSH buckets are
     # singletons, and a map_groups fn per tiny bucket is a Python-loop
-    # bottleneck; inside a coarse group, a vectorized pandas groupby finds
-    # the >1-doc buckets and emits their pairs.
+    # bottleneck; inside a coarse group, numpy emits each >1-doc bucket's
+    # pairs via triu indices and pre-dedups them — NO Python pair loops
+    # (word-salad-ish corpora produce mega-buckets whose quadratic pair
+    # sets must be emitted at C speed or not at all).
+    max_bucket = 1000   # degenerate buckets (near-identical corpus slices)
+
     def add_coarse(batch: pa.Table) -> pa.Table:
         coarse = (batch["band_hash"].to_numpy() % 256).astype(np.int32)
         return batch.append_column("coarse", pa.array(coarse, pa.int32()))
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b = [], []
-        sizes = g.groupby(["band_id", "band_hash"])["doc_id"].agg(list)
-        for ids in sizes:
-            if len(ids) > 1:
-                ids = sorted(ids)
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        rows_a.append(ids[i])
-                        rows_b.append(ids[j])
-        return pd.DataFrame({"doc_id_a": pd.Series(rows_a, dtype="int64"),
-                             "doc_id_b": pd.Series(rows_b, dtype="int64")})
+        chunks = []
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            n = len(sub)
+            if n < 2 or n > max_bucket:
+                continue
+            ids = np.sort(sub["doc_id"].to_numpy())
+            i, j = np.triu_indices(n, k=1)
+            # encode the pair as one int64 (doc ids are < 2^31 here)
+            chunks.append(ids[i].astype(np.int64) * (1 << 31) + ids[j])
+        if not chunks:
+            return pd.DataFrame({"pair_key": pd.Series([], dtype="int64"),
+                                 "n_bands": pd.Series([], dtype="int64")})
+        keys, counts = np.unique(np.concatenate(chunks), return_counts=True)
+        return pd.DataFrame({"pair_key": keys,
+                             "n_bands": counts.astype(np.int64)})
 
     pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("coarse")
              .map_groups(coarse_pairs, batch_format="pandas"))
-    # a pair can surface from many bands → dedup on the pair key
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
-        Count(alias_name="n_bands"))
+
+    # a pair can surface from several coarse groups → merge on the int key
+    # (bucketed: built-in aggregate is ~0.3 ms/distinct key on this Ray
+    # version — see groupagg.py), then decode back to (doc_id_a, doc_id_b)
+    from .groupagg import bucketed_agg
+    merged = bucketed_agg(pairs, ["pair_key"],
+                          {"n_bands": ("n_bands", "sum")}, num_buckets=64)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        k = batch["pair_key"].to_numpy()
+        return pa.Table.from_pydict({
+            "doc_id_a": pa.array(k >> 31, pa.int64()),
+            "doc_id_b": pa.array(k & ((1 << 31) - 1), pa.int64()),
+            "n_bands": batch["n_bands"],
+        })
+    return merged.map_batches(decode, batch_format="pyarrow")
 
 
 def shingle_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -219,12 +244,26 @@ class VerifyPairs:
         self.docs = ray.get(docs_ref) if not isinstance(docs_ref, dict) \
             else docs_ref
         self.k = shingle_k
+        # shingle sets computed ONCE per doc per actor: candidate sets are
+        # often quadratic in bucket size while docs are few — recomputing
+        # shingles per pair was the dominant cost of the verify stage
+        self._sets: dict[int, frozenset] = {}
+
+    def _shingles(self, doc_id: int) -> frozenset:
+        s = self._sets.get(doc_id)
+        if s is None:
+            s = frozenset(_shingle_hashes(self.docs[doc_id], self.k).tolist())
+            self._sets[doc_id] = s
+        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["doc_id_a"].to_pylist()
         b = batch["doc_id_b"].to_pylist()
-        jac = [shingle_jaccard(self.docs[x], self.docs[y], self.k)
-               for x, y in zip(a, b)]
+        jac = []
+        for x, y in zip(a, b):
+            sa, sb = self._shingles(x), self._shingles(y)
+            union = len(sa | sb)
+            jac.append(len(sa & sb) / union if union else 1.0)
         return batch.append_column("jaccard", pa.array(jac, pa.float64()))
 
 
@@ -234,9 +273,10 @@ def minhash_dedup_pairs(ds, docs_map: dict, threshold: float = 0.7, **kw):
     import ray
     ref = ray.put(docs_map)
     cands = minhash_lsh_candidates(ds, **kw)
+    from ..runtime import pool_size
     verified = cands.map_batches(
         VerifyPairs, fn_constructor_kwargs={"docs_ref": ref},
-        batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow", concurrency=(1, pool_size(0.5)))
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow")
@@ -288,8 +328,9 @@ def hash_token(tok: str, salt: np.uint64) -> np.uint64:
 
 
 def simhash_dataset(ds):
+    from ..runtime import pool_size
     return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=(1, pool_size(1.0)))
 
 
 # ---------------------------------------------------------------------------
@@ -317,9 +358,10 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9, bits: int = 12,
                             dim: int = 64):
     """Near-identical embedding pairs: LSH bucket (one shuffle on the bucket
     key) → exact pairwise cosine within bucket → threshold."""
+    from ..runtime import pool_size
     bucketed = ds.map_batches(
         HyperplaneBucketer, fn_constructor_kwargs={"dim": dim, "bits": bits},
-        batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow", concurrency=(1, pool_size(0.5)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].tolist()

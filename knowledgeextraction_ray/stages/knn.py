@@ -89,9 +89,11 @@ def knn_brute(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     q_ids = q_tab["vec_id"].tolist()
     qm = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
     ref = ray.put((q_ids, qm))
+    from ..runtime import pool_size
     cands = ds.map_batches(
         BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, pool_size(1.0)))
     return _global_topk(cands, k)
 
 
@@ -120,7 +122,9 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, bits: int = 8,
         return batch.filter(pa.array(mask))
 
     filtered = ds.map_batches(in_query_buckets, batch_format="pyarrow")
+    from ..runtime import pool_size
     cands = filtered.map_batches(
         BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, pool_size(1.0)))
     return _global_topk(cands, k)

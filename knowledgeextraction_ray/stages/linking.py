@@ -38,40 +38,60 @@ def load_alias_map(alias_parquet: str) -> dict[str, tuple[str, float]]:
     return best
 
 
+# worker-process-level cache: linking runs as STATELESS tasks that share
+# Ray's reusable worker pool with the other task stages (a dedicated actor
+# pool here measured 4× slower end-to-end — dozens of extra worker
+# processes + an extra pool hop for a dict lookup). The cache makes the
+# alias load once-per-worker, which is the actor-pool property without the
+# actor-pool cost.
+_ALIAS_CACHE: dict[str, dict] = {}
+
+
+def _cached_alias(alias_parquet: str) -> dict[str, tuple[str, float]]:
+    alias = _ALIAS_CACHE.get(alias_parquet)
+    if alias is None:
+        alias = _ALIAS_CACHE.setdefault(alias_parquet,
+                                        load_alias_map(alias_parquet))
+    return alias
+
+
+def link_batch(batch: pa.Table, alias_parquet: str) -> pa.Table:
+    alias = _cached_alias(alias_parquet)
+    surfaces = batch["surface"].to_pylist()
+    norms, ents, priors = [], [], []
+    for s in surfaces:
+        norms.append(s.lower())
+        hit = alias.get(s)
+        if hit is None:
+            ents.append(f"ent::{s.lower()}")
+            priors.append(0.0)
+        else:
+            ents.append(hit[0])
+            priors.append(hit[1])
+    batch = batch.append_column("surface_norm", pa.array(norms, pa.string()))
+    batch = batch.append_column("entity_id", pa.array(ents, pa.string()))
+    batch = batch.append_column("prior", pa.array(priors, pa.float64()))
+    return batch
+
+
 class LinkMentions:
-    """Actor-pool callable: mention batch → + (surface_norm, entity_id, prior)."""
+    """Actor-pool form of the linking stage — the right shape when the alias
+    dictionary is large enough that a per-worker load is worth pinning to a
+    small pool (or lives on GPU). The default pipeline uses the stateless
+    ``link_batch`` (see cache note above)."""
 
     def __init__(self, alias_parquet: str):
-        self.alias = load_alias_map(alias_parquet)
+        self.path = alias_parquet
+        _cached_alias(alias_parquet)          # load once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        surfaces = batch["surface"].to_pylist()
-        norms, ents, priors = [], [], []
-        alias = self.alias
-        for s in surfaces:
-            norms.append(s.lower())
-            hit = alias.get(s)
-            if hit is None:
-                ents.append(f"ent::{s.lower()}")
-                priors.append(0.0)
-            else:
-                ents.append(hit[0])
-                priors.append(hit[1])
-        batch = batch.append_column("surface_norm", pa.array(norms, pa.string()))
-        batch = batch.append_column("entity_id", pa.array(ents, pa.string()))
-        batch = batch.append_column("prior", pa.array(priors, pa.float64()))
-        return batch
+        return link_batch(batch, self.path)
 
 
-def link_dataset(ds, alias_parquet: str, concurrency: int = 4,
+def link_dataset(ds, alias_parquet: str, concurrency: int | None = None,
                  batch_size: int = 4096):
-    # autoscaling (1, N) + fractional CPU: linking is a dict lookup, far
-    # cheaper than the scorer — don't let its pool starve other stages.
     return ds.map_batches(
-        LinkMentions,
-        fn_constructor_kwargs={"alias_parquet": alias_parquet},
+        lambda b: link_batch(b, alias_parquet),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
-        num_cpus=0.5,
     )

@@ -187,6 +187,7 @@ def mrc_pipeline(corpus_ds, max_span: int = 200, stride: int = 100,
     feats = examples.map_batches(
         lambda b: explode_features(b, max_span, stride),
         batch_format="pyarrow")
+    from ..runtime import pool_size
     scored = feats.map_batches(MrcSpanScorer, batch_format="pyarrow",
-                               concurrency=(1, 8))
+                               concurrency=(1, pool_size(1.0)))
     return nbest_merge(scored, n_best)

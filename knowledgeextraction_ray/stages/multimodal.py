@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column stages.
+
+Media are opaque ``binary`` columns plus typed metadata; decode /
+feature-extract / resize / frame-sample run as actor-pool ``map_batches``
+stages with SMALL batch sizes (payloads are large — batch_size × payload ×
+concurrency must fit worker heap; SURVEY.md "memory-aware").
+
+The image/audio codec libraries are not in this container, so the actual
+decode is STUBBED: ``DecodeImage`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (seeded from the
+payload hash) produces shaped numpy output. The Ray-side plumbing — schema,
+actor signature, batch sizing, output layout — is real and tested, so a real
+codec drops into ``_decode_one``.
+"""
+
+from __future__ import annotations
+
+from hashlib import sha256
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),            # "image" | "audio" | "video"
+    ("payload", pa.binary()),
+    ("meta_width", pa.int32()),       # images/video
+    ("meta_height", pa.int32()),
+    ("meta_sample_rate", pa.int32()),  # audio
+    ("meta_n_frames", pa.int32()),    # video
+])
+
+
+def make_fake_media(n: int, kind: str = "image", seed: int = 23) -> pa.Table:
+    """Deterministic synthetic media rows (payload = seeded random bytes)."""
+    rs = np.random.RandomState(seed)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        rows["media_id"].append(f"{kind}-{i:06d}")
+        rows["kind"].append(kind)
+        rows["payload"].append(rs.bytes(rs.randint(500, 3000)))
+        rows["meta_width"].append(int(rs.randint(16, 64)))
+        rows["meta_height"].append(int(rs.randint(16, 64)))
+        rows["meta_sample_rate"].append(16000)
+        rows["meta_n_frames"].append(int(rs.randint(8, 32)))
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+class DecodeImage:
+    """Actor: binary payload → decoded pixel stats + thumbnail feature.
+
+    Real decoders (PIL/libjpeg) are absent in this container: pass
+    ``fake=True`` for the deterministic stand-in (payload-hash-seeded
+    pixels), else NotImplementedError marks the integration point."""
+
+    def __init__(self, fake: bool = False, thumb: int = 8):
+        self.fake = fake
+        self.thumb = thumb
+
+    def _decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "integrate PIL/cv2 here")
+        seed = int.from_bytes(sha256(payload).digest()[:4], "big")
+        rs = np.random.RandomState(seed)
+        return rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, means = [], []
+        for payload, w, h in zip(batch["payload"].to_pylist(),
+                                 batch["meta_width"].to_pylist(),
+                                 batch["meta_height"].to_pylist()):
+            img = self._decode_one(payload, w, h)
+            means.append(float(img.mean()))
+            # thumbnail = blockwise mean resize to (thumb, thumb)
+            ys = np.linspace(0, img.shape[0], self.thumb + 1, dtype=int)
+            xs = np.linspace(0, img.shape[1], self.thumb + 1, dtype=int)
+            tb = np.array([[img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                            for j in range(self.thumb)]
+                           for i in range(self.thumb)], dtype=np.float32)
+            feats.append(tb.ravel().tolist())
+        return pa.Table.from_pydict({
+            "media_id": batch["media_id"],
+            "pixel_mean": pa.array(means, pa.float64()),
+            "thumbnail": pa.array(feats, pa.list_(pa.float32(),
+                                                  self.thumb * self.thumb)),
+        })
+
+
+class SampleFrames:
+    """Actor: video rows → exploded frame rows (every k-th frame index).
+
+    Frame extraction itself is the stubbed decode; the fan-out bookkeeping
+    (one video row → n frame rows with frame_index) is the real plumbing."""
+
+    def __init__(self, every_k: int = 4):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_index": [], "payload": []}
+        for mid, payload, n in zip(batch["media_id"].to_pylist(),
+                                   batch["payload"].to_pylist(),
+                                   batch["meta_n_frames"].to_pylist()):
+            for fi in range(0, n, self.k):
+                out["media_id"].append(mid)
+                out["frame_index"].append(fi)
+                out["payload"].append(payload)
+        return pa.Table.from_pydict({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "frame_index": pa.array(out["frame_index"], pa.int32()),
+            "payload": pa.array(out["payload"], pa.binary()),
+        })
+
+
+def decode_images(ds, fake: bool = False, batch_size: int = 64,
+                  concurrency=(1, 4)):
+    """Small batches: payload × batch × pool must fit the worker heap."""
+    return ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": fake},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_frames(ds, every_k: int = 4, batch_size: int = 32,
+                  concurrency=(1, 4)):
+    return ds.map_batches(SampleFrames,
+                          fn_constructor_kwargs={"every_k": every_k},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -157,12 +157,15 @@ def score_dataset(ds, scorer_cfg: ScorerConfig | None = None,
     cfg = scorer_cfg or ScorerConfig()
     # autoscaling pool (1, N): never pre-reserves every CPU — a fixed-size
     # pool that exactly matches the session CPUs starves the read/write
-    # stages and deadlocks the streaming executor.
+    # stages and deadlocks the streaming executor. N sized from the live
+    # cluster unless the config pins it.
+    from ..runtime import pool_size
+    n = cfg.concurrency if cfg.concurrency else pool_size(1.0)
     return ds.map_batches(
         NerScorer,
         fn_constructor_kwargs={"scorer_cfg": cfg, "segment_cfg": segment_cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.concurrency),
+        concurrency=(1, n),
         num_cpus=cfg.num_cpus,
     )

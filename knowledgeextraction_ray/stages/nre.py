@@ -137,5 +137,6 @@ class NreScorer:
 def nre_pipeline(scored_segments):
     """scored NER segments → relation-scored (head, tail) pairs."""
     pairs = scored_segments.map_batches(build_pairs, batch_format="pyarrow")
+    from ..runtime import pool_size
     return pairs.map_batches(NreScorer, batch_format="pyarrow",
-                             concurrency=(1, 4))
+                             concurrency=(1, pool_size(0.5)))

@@ -92,10 +92,12 @@ def rolling_fingerprints(text: str, k: int = 16, window: int = 8) -> list[int]:
     # polynomial rolling hash of every k-gram, vectorized via cumulative trick
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
-    for i in range(1, k):
-        powers[i] = (powers[i - 1] * _FP_BASE) & _FP_MASK
     grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    hashes = (grams * powers[::-1]).sum(axis=1, dtype=np.uint64) & _FP_MASK
+    with np.errstate(over="ignore"):              # mod-2^64 wraparound is
+        for i in range(1, k):                     # the intended semantics
+            powers[i] = (powers[i - 1] * _FP_BASE) & _FP_MASK
+        hashes = (grams * powers[::-1]).sum(axis=1,
+                                            dtype=np.uint64) & _FP_MASK
     if len(hashes) <= window:
         return [int(hashes.min())]
     mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)

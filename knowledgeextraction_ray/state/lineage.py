@@ -1,0 +1,187 @@
+"""Per-partition lineage, counters and resume (north rule; SURVEY.md §4).
+
+The reference's only resume machinery is checkpoint-file bookkeeping
+(``run_crf_albert.py:197-295``) and load-if-exists feature caches
+(``run_mrc_albert.py:281-308``). Here resume is first-class:
+
+- The input corpus (many Parquet shards) is split into **waves** —
+  contiguous groups of input files. Each wave runs the expensive extraction
+  stages (segment → score → mention → link) as ONE streaming Dataset job and
+  lands its linked mentions under ``out/mentions/part-<wave>/`` ATOMICALLY
+  (write to a temp dir, rename), next to a ``manifest.json`` recording the
+  exact input files, row counters, content-sha range and the pipeline config.
+- On re-run, completed waves are skipped by an anti-join of pending waves
+  against existing manifests (the analog of the reference's checkpoint-step
+  anti-join, ``run_crf_albert.py:240-265``).
+- The final wide stages (canonicalize → triples → partitioned write) re-run
+  from the checkpointed mentions — never from the raw corpus — and the
+  triple output is written ONE FILE PER subject-hash PARTITION with rows
+  sorted by the triple key, so a re-run is byte-identical.
+
+Wave count trades checkpoint granularity against scheduling overhead: at
+100 TB you'd pick waves of O(100 GB) so a preempted node loses at most one
+wave of scorer work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import PipelineConfig
+from ..corpus import alias_path, corpus_parquet_dir, ensure_corpus
+
+
+def wave_assignments(input_files: list[str], num_waves: int):
+    files = sorted(input_files)
+    return [files[w::num_waves] for w in range(num_waves)]
+
+
+def _manifest_path(out_dir: str, wave: int) -> str:
+    return os.path.join(out_dir, "mentions", f"part-{wave:04d}",
+                        "manifest.json")
+
+
+def completed_waves(out_dir: str, num_waves: int) -> set[int]:
+    done = set()
+    for w in range(num_waves):
+        if os.path.exists(_manifest_path(out_dir, w)):
+            done.add(w)
+    return done
+
+
+def _run_wave(wave: int, files: list[str], out_dir: str,
+              cfg: PipelineConfig, alias_parquet: str) -> dict:
+    """Extraction stages for one wave → atomic mentions partition +
+    manifest. Returns the counter dict."""
+    import ray.data as rd
+
+    from ..stages.linking import link_dataset
+    from ..stages.mentions import mentions_dataset
+    from ..stages.ner_scorer import score_dataset
+    from ..stages.segmenter import segment_dataset
+
+    part_dir = os.path.join(out_dir, "mentions", f"part-{wave:04d}")
+    tmp = tempfile.mkdtemp(prefix=f"wave{wave}_", dir=out_dir)
+    try:
+        ds = rd.read_parquet(files)
+        segs = segment_dataset(ds, cfg.segment)
+        scored = score_dataset(segs, cfg.scorer, cfg.segment)
+        ments = mentions_dataset(scored)
+        linked = link_dataset(ments, alias_parquet,
+                              concurrency=cfg.scorer.concurrency)
+        linked.write_parquet(tmp)
+        # counters from the landed partition (cheap metadata scan + one
+        # column read — the partition is this wave's mentions only)
+        t = pq.read_table(tmp, columns=["guid", "content_sha256"])
+        shas = t["content_sha256"].to_pylist()
+        counters = {
+            "n_mentions": len(t),
+            "n_files_in": len(files),
+            "n_docs": len(set(shas)),
+            "sha_min": min(shas) if shas else "",
+            "sha_max": max(shas) if shas else "",
+        }
+        manifest = {
+            "wave": wave,
+            "input_files": files,
+            "counters": counters,
+            "config": json.loads(cfg.to_json()),
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.makedirs(os.path.dirname(part_dir), exist_ok=True)
+        os.rename(tmp, part_dir)
+        return counters
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def write_partitioned_triples(triples_ds, out_dir: str,
+                              num_partitions: int) -> list[str]:
+    """Deterministic final write: one Parquet file per subject-hash
+    partition, rows sorted by (subj, pred, obj) — re-runs are byte-identical
+    and a reader can prune by partition file."""
+    import pandas as pd
+
+    from ..stages.triples import add_partition_id
+
+    tdir = os.path.join(out_dir, "triples")
+    tmp = tempfile.mkdtemp(prefix="triples_", dir=out_dir)
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["partition_id"].iloc[0])
+        g = g.drop(columns=["partition_id"]).sort_values(
+            ["subj", "pred", "obj"], kind="mergesort")
+        table = pa.Table.from_pandas(g.reset_index(drop=True),
+                                     preserve_index=False)
+        pq.write_table(table, os.path.join(tmp, f"part-{pid:04d}.parquet"))
+        return pd.DataFrame({"partition_id": [pid], "n_triples": [len(g)]})
+
+    with_pid = triples_ds.map_batches(
+        lambda b: add_partition_id(b, num_partitions),
+        batch_format="pyarrow")
+    stats = (with_pid.groupby("partition_id")
+             .map_groups(write_part, batch_format="pandas")
+             .to_pandas())
+    manifest = {
+        "partitions": {int(r.partition_id): int(r.n_triples)
+                       for r in stats.itertuples()},
+        "n_triples": int(stats["n_triples"].sum()),
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    if os.path.exists(tdir):
+        shutil.rmtree(tdir)
+    os.rename(tmp, tdir)
+    return [os.path.join(tdir, f) for f in sorted(os.listdir(tdir))]
+
+
+def run_resumable_kg(sf_dir: str, out_dir: str,
+                     cfg: PipelineConfig | None = None, num_waves: int = 4,
+                     stop_after_waves: int | None = None) -> dict:
+    """Resumable flagship run. Call again after a crash — completed waves are
+    skipped (anti-join against manifests). ``stop_after_waves`` simulates a
+    mid-run kill for tests. Returns a run report."""
+    import ray.data as rd
+
+    from ..pipelines.kg import canonical_map_of
+    from ..stages.canonicalize import canonicalize_dataset
+    from ..stages.triples import triples_dataset
+
+    cfg = cfg or PipelineConfig()
+    ensure_corpus(sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    src = corpus_parquet_dir(sf_dir)
+    input_files = [os.path.join(src, f) for f in os.listdir(src)
+                   if f.endswith(".parquet")]
+    waves = wave_assignments(input_files, num_waves)
+    done = completed_waves(out_dir, num_waves)
+    report = {"skipped_waves": sorted(done), "ran_waves": []}
+    ran = 0
+    for w, files in enumerate(waves):
+        if w in done or not files:
+            continue
+        if stop_after_waves is not None and ran >= stop_after_waves:
+            report["stopped_early"] = True
+            return report
+        _run_wave(w, files, out_dir, cfg, alias_path(sf_dir))
+        report["ran_waves"].append(w)
+        ran += 1
+    # final wide stages from the checkpointed mentions (never re-extract)
+    linked = rd.read_parquet(os.path.join(out_dir, "mentions"),
+                             file_extensions=["parquet"])
+    canon = canonicalize_dataset(linked, cfg.canonicalize.num_salts)
+    cmap = canonical_map_of(canon)
+    triples = triples_dataset(linked, cmap,
+                              concurrency=cfg.scorer.concurrency)
+    files = write_partitioned_triples(triples, out_dir,
+                                      cfg.output.num_partitions)
+    report["triple_files"] = files
+    return report
