@@ -147,6 +147,20 @@ select p_type, count(*) as n_parts,
 from part group by 1
 """
 
+SQL_VOCAB_FROM_CORPUS = f"""
+select regexp_replace(word, '\\d', '0', 'g') as word, count(*) as n
+from (select unnest(regexp_extract_all(text, '{TOKEN_RE}')) as word
+      from documents)
+group by 1 having count(*) > 5
+"""
+
+SQL_DOC_NORMALIZE = """
+select doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '\\d', '0', 'g'),
+                           '\\s+', ' ', 'g')) as norm_text
+from documents
+"""
+
 TABLE_ORACLES = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
@@ -160,4 +174,6 @@ TABLE_ORACLES = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "top_orders": SQL_TOP_ORDERS,
     "part_type_stats": SQL_PART_TYPE_STATS,
+    "vocab_from_corpus": SQL_VOCAB_FROM_CORPUS,
+    "doc_normalize": SQL_DOC_NORMALIZE,
 }

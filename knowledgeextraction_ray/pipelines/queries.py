@@ -175,6 +175,63 @@ def q_part_type_stats(sf_dir: str):
     return part_type_stats(sf_dir)
 
 
+def q_vocab_from_corpus(sf_dir: str):
+    """Count-based vocabulary builder (reference S10/G3,
+    ``utils/chinese_CONLL.py:44-86``): token → count over the documents
+    corpus, digit-normalized (M8), kept when count > min_occur."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import bucketed_agg
+    min_occur = 5
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        import re
+        tok_re = re.compile(r"[A-Za-z0-9_]+")
+        words: list[str] = []
+        counts: list[int] = []
+        acc: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for w in tok_re.findall(text):
+                w = re.sub(r"\d", "0", w)          # M8 digit normalization
+                acc[w] = acc.get(w, 0) + 1
+        for w, c in acc.items():
+            words.append(w)
+            counts.append(c)
+        return pa.Table.from_pydict({
+            "word": pa.array(words, pa.string()),
+            "n_partial": pa.array(counts, pa.int64()),
+        })
+
+    counted = bucketed_agg(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tokens, batch_format="pyarrow", batch_size=None),
+        ["word"], {"n": ("n_partial", "sum")}, num_buckets=16)
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], min_occur)),
+        batch_format="pyarrow")
+
+
+def q_doc_normalize(sf_dir: str):
+    """Text normalizer (reference M8 + M13): lower → digits→0 → collapse
+    whitespace → strip; fully vectorized pyarrow.compute (RE2, matching the
+    DuckDB oracle's regexes exactly)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"\d", "0")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "norm_text": t,
+        })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow")
+
+
 # --- rows-only (no SQL oracle; verified in pytest instead) -----------------
 
 def q_doc_minhash_pairs(sf_dir: str):
@@ -230,6 +287,8 @@ TABLE_QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "top_orders": q_top_orders,
     "part_type_stats": q_part_type_stats,
+    "vocab_from_corpus": q_vocab_from_corpus,
+    "doc_normalize": q_doc_normalize,
 }
 
 def q_ner_eval_prf(sf_dir: str):
