@@ -78,6 +78,30 @@ class RuleCharTagModel:
                         out[i, s + 2:e + 1, i_id] = 10.0
         return out
 
+    def predict_tags(self, ids: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
+        """Fast inference path: per-char argmax tags WITHOUT materializing
+        the (N, L, K) logits tensor — exactly ``logits().argmax(axis=2)``
+        for this model (parity asserted in tests). A real encoder has no
+        such shortcut; the scorer only uses it in ``decode="argmax"``."""
+        n, L = ids.shape
+        out = np.zeros((n, L), dtype=np.int8)        # 0 == LABEL2ID["O"]
+        texts = ids_to_texts(ids, seq_len)
+        # descending label order: on (grammar-impossible) overlaps the last
+        # write is the LOWEST label id — argmax's tie-break over equal logits
+        ordered = sorted(self.patterns, key=lambda lp: LABEL2ID[f"{lp[0]}-B"],
+                         reverse=True)
+        for i, text in enumerate(texts):
+            row = out[i]
+            for lab, pat in ordered:
+                b_id = LABEL2ID[f"{lab}-B"]
+                i_id = LABEL2ID[f"{lab}-I"]
+                for m in pat.finditer(text):
+                    s, e = m.span(1)
+                    row[s + 1] = b_id
+                    if e > s + 1:
+                        row[s + 2:e + 1] = i_id
+        return out
+
 
 def bio_transitions() -> np.ndarray:
     """(K, K) transition scores: 0 for BIO-legal moves, -1e4 otherwise.
@@ -144,8 +168,13 @@ class NerScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids, mask, seq_len = featurize_batch(texts, self.seg.max_seq_length)
-        logits = self.model.logits(ids, seq_len)
-        tags = self._decode(logits, seq_len)
+        if self.cfg.decode == "argmax" and \
+                hasattr(self.model, "predict_tags"):
+            # fast path: tags without the dense logits tensor (≡ argmax)
+            tags = self.model.predict_tags(ids, seq_len)
+        else:
+            logits = self.model.logits(ids, seq_len)
+            tags = self._decode(logits, seq_len)
         # strip CLS / cut at payload end (M10 semantics) → ragged list column
         trimmed = [tags[i, 1:1 + seq_len[i]] for i in range(len(texts))]
         col = pa.array([t.tolist() for t in trimmed], type=pa.list_(pa.int8()))
