@@ -112,10 +112,28 @@ group by 1, 2, 3
 """
 
 
+def sql_triples_by_repo(sf_dir: str) -> str:
+    """Per-(repo, pred) rollup over the deduplicated triples."""
+    return f"""
+with {_linked_ctes(sf_dir)},
+triples as (
+  select l.repo || ':' || l.path as subj,
+         {_pred_case()} as pred,
+         c.entity_id as obj,
+         min(l.repo) as repo, count(*) as n_mentions
+  from linked l join canonical c using (surface_norm)
+  group by 1, 2, 3)
+select repo, pred, count(*) as n_triples,
+       sum(n_mentions) as n_mentions
+from triples group by 1, 2
+"""
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
     "kg_label_hist": sql_label_hist,
     "kg_canonical": sql_canonical,
     "kg_triples": sql_triples,
+    "kg_triples_by_repo": sql_triples_by_repo,
 }

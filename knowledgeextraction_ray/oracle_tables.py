@@ -176,4 +176,6 @@ TABLE_ORACLES = {
     "part_type_stats": SQL_PART_TYPE_STATS,
     "vocab_from_corpus": SQL_VOCAB_FROM_CORPUS,
     "doc_normalize": SQL_DOC_NORMALIZE,
+    "doc_lang_distribution":
+        "select lang, count(*) as n_docs from documents group by 1",
 }

@@ -359,6 +359,30 @@ def q_prep_tagger_records(sf_dir: str):
     return train
 
 
+def q_doc_lang_distribution(sf_dir: str):
+    """Distinct-values + counts (reference D2/G2 ``ds.unique`` analog) over
+    a low-cardinality key — the built-in aggregate is the right tool here."""
+    from ray.data.aggregate import Count
+    return (_docs(sf_dir, ["lang"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs")))
+
+
+def q_kg_triples_by_repo(sf_dir: str):
+    """Second-level rollup over the triple output: per (repo, pred) counts —
+    a groupby OVER a pipeline result (composability check)."""
+    from ..stages.groupagg import bucketed_agg
+    from .kg import kg_pipeline
+    triples = kg_pipeline(sf_dir)
+    return bucketed_agg(triples, ["repo", "pred"],
+                        {"n_triples": ("n_mentions", "count"),
+                         "n_mentions": ("n_mentions", "sum")},
+                        num_buckets=16)
+
+
+TABLE_QUERIES["doc_lang_distribution"] = q_doc_lang_distribution
+TABLE_QUERIES["kg_triples_by_repo"] = q_kg_triples_by_repo
+
 ROWS_ONLY_QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash": q_doc_simhash,

@@ -12,9 +12,10 @@ from knowledgeextraction_ray.pipelines.queries import TABLE_QUERIES
 
 
 @pytest.mark.parametrize("name", list(TABLE_QUERIES))
-def test_table_query_matches_duckdb_oracle(sf_dir, name):
-    ok, msg = compare(TABLE_QUERIES[name](sf_dir), TABLE_ORACLES[name],
-                      sf_dir=sf_dir)
+def test_table_query_matches_duckdb_oracle(sf_dir, corpus_ready, name):
+    from knowledgeextraction_ray.pipelines.queries import build_oracles
+    oracle = build_oracles(sf_dir)[name]
+    ok, msg = compare(TABLE_QUERIES[name](sf_dir), oracle, sf_dir=sf_dir)
     assert ok, f"{name}: {msg}"
 
 
