@@ -40,5 +40,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (driver runs them at sf=0.01).
     Non-SQL-expressible ops are omitted → rows-only check."""
+    from knowledgeextraction_ray.corpus import ensure_corpus
     from knowledgeextraction_ray.pipelines.queries import build_oracles
+
+    # the kg-family SQL reads the corpus cache — make sure it exists even if
+    # the driver evaluates the oracle before the Ray side
+    for sf in (_SF001, _SF01):
+        ensure_corpus(sf)
     return build_oracles(_SF01)

@@ -181,6 +181,30 @@ class NerScorer:
         return batch.append_column("tag_ids", col)
 
 
+def featurize_dataset(ds, segment_cfg: SegmentConfig | None = None):
+    """Explicit featurizer stage (reference M9 as a Dataset transform):
+    segment rows → + ``input_ids``/``input_mask`` ``list<int32>`` columns.
+
+    The flagship fuses featurization into the scorer actor (the feature
+    tensors never hit the object store); this staged form exists for
+    pipelines that checkpoint features (the reference's TFRecord cache
+    S6/S16 analog) or feed an external trainer."""
+    seg = segment_cfg or SegmentConfig()
+
+    def feat(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids, mask, seq_len = featurize_batch(texts, seg.max_seq_length)
+        batch = batch.append_column(
+            "input_ids", pa.array(ids.tolist(),
+                                  pa.list_(pa.int32(), seg.max_seq_length)))
+        batch = batch.append_column(
+            "input_mask", pa.array(mask.tolist(),
+                                   pa.list_(pa.int32(), seg.max_seq_length)))
+        return batch.append_column("seq_len",
+                                   pa.array(seq_len, pa.int32()))
+    return ds.map_batches(feat, batch_format="pyarrow")
+
+
 def score_dataset(ds, scorer_cfg: ScorerConfig | None = None,
                   segment_cfg: SegmentConfig | None = None):
     cfg = scorer_cfg or ScorerConfig()
