@@ -36,10 +36,10 @@ def q_corpus_sha(sf_dir: str):
 
 
 def _mentions(sf_dir: str):
-    cfg = PipelineConfig()
-    segs = segment_dataset(read_corpus(sf_dir), cfg.segment)
-    scored = score_dataset(segs, cfg.scorer, cfg.segment)
-    return mentions_dataset(scored)
+    """Mention rows via the fused hot path (linking adds columns only —
+    the mention stream is identical; equality is test-gated)."""
+    from .kg import linked_mentions
+    return linked_mentions(sf_dir)
 
 
 def q_mentions(sf_dir: str):
@@ -394,6 +394,21 @@ ROWS_ONLY_QUERIES = {
     "nre_relations": q_nre_relations,
     "prep_tagger_records": q_prep_tagger_records,
 }
+
+
+def q_doc_dedup_keep(sf_dir: str):
+    """Near-dedup keep/drop decision per doc (LSH → verify → connected
+    components, min-id representative)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import minhash_dedup_keep
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    return minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]), dmap)
+
+
+ROWS_ONLY_QUERIES["doc_dedup_keep"] = q_doc_dedup_keep
 
 
 def build_queries() -> dict:

@@ -267,6 +267,52 @@ class VerifyPairs:
         return batch.append_column("jaccard", pa.array(jac, pa.float64()))
 
 
+def dedup_components(pairs_pdf, all_ids=None):
+    """Near-dup pairs → connected components → keep/drop decision.
+
+    Union-find on the DRIVER over the verified pair list (pairs are sparse —
+    bounded by near-dup density, not corpus size; the ray_guide pattern. For
+    pair sets too large for one machine, iterate min-label propagation with
+    the bucketed groupby instead). Returns a DataFrame
+    ``(doc_id, component_id, keep)`` with ``component_id = min doc_id`` in
+    the component and ``keep`` true only for that representative."""
+    import pandas as pd
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs_pdf["doc_id_a"], pairs_pdf["doc_id_b"]):
+        union(int(a), int(b))
+    members = set(map(int, pairs_pdf["doc_id_a"])) | \
+        set(map(int, pairs_pdf["doc_id_b"]))
+    if all_ids is not None:
+        members |= set(map(int, all_ids))
+    rows = []
+    for d in sorted(members):
+        comp = find(d)
+        rows.append((d, comp, d == comp))
+    return pd.DataFrame(rows, columns=["doc_id", "component_id", "keep"])
+
+
+def minhash_dedup_keep(ds, docs_map: dict, threshold: float = 0.7, **kw):
+    """End-to-end near-dedup: LSH candidates → verify → components →
+    per-doc keep/drop table (min-id representative per duplicate cluster)."""
+    pairs = minhash_dedup_pairs(ds, docs_map, threshold, **kw).to_pandas()
+    return dedup_components(pairs, all_ids=list(docs_map.keys()))
+
+
 def minhash_dedup_pairs(ds, docs_map: dict, threshold: float = 0.7, **kw):
     """Full MinHash-LSH near-dup: candidates → exact-verify → threshold."""
     import pyarrow.compute as pc
@@ -322,8 +368,9 @@ class SimHasher:
 
 def hash_token(tok: str, salt: np.uint64) -> np.uint64:
     h = np.uint64(14695981039346656037)          # FNV-1a 64
-    for byte in tok.encode("utf-8"):
-        h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+    with np.errstate(over="ignore"):             # mod-2^64 is the FNV spec
+        for byte in tok.encode("utf-8"):
+            h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
     return h ^ salt
 
 

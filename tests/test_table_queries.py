@@ -149,3 +149,40 @@ def test_sessionize_semantics():
     u1 = out[out["user_id"] == 1]
     assert list(u1["session_id"]) == [0, 1]
     assert list(u1["n_events"]) == [2, 1]
+
+
+def test_dedup_components_planted():
+    """Union-find components: planted dup clusters collapse to min-id reps."""
+    import pandas as pd
+
+    from knowledgeextraction_ray.stages.dedup import dedup_components
+    pairs = pd.DataFrame({"doc_id_a": [1, 2, 10, 1],
+                          "doc_id_b": [2, 3, 11, 3]})
+    out = dedup_components(pairs, all_ids=[1, 2, 3, 10, 11, 50])
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[1, "keep"] and by_id.loc[1, "component_id"] == 1
+    assert not by_id.loc[2, "keep"] and by_id.loc[2, "component_id"] == 1
+    assert not by_id.loc[3, "keep"]
+    assert by_id.loc[10, "keep"] and not by_id.loc[11, "keep"]
+    assert by_id.loc[50, "keep"] and by_id.loc[50, "component_id"] == 50
+
+
+def test_minhash_dedup_keep_planted():
+    from knowledgeextraction_ray.stages.dedup import minhash_dedup_keep
+    rows = _docs_with_dupes()
+    dmap = {r["doc_id"]: r["text"] for r in rows}
+    out = minhash_dedup_keep(rd.from_items(rows), dmap, threshold=0.7)
+    by_id = out.set_index("doc_id")
+    # planted dupes land in the same component as their source (the tiny
+    # shared vocab means unrelated docs may also cluster — assertions are
+    # membership-relative, not absolute)
+    assert by_id.loc[101, "component_id"] == by_id.loc[1, "component_id"]
+    assert by_id.loc[102, "component_id"] == by_id.loc[1, "component_id"]
+    assert by_id.loc[103, "component_id"] == by_id.loc[2, "component_id"]
+    # exactly one keeper per component, and it is the min id
+    for comp, grp in out.groupby("component_id"):
+        assert grp["keep"].sum() == 1
+        assert grp.loc[grp["keep"], "doc_id"].iloc[0] == comp == \
+            grp["doc_id"].min()
+    # every doc appears exactly once
+    assert len(out) == len(rows)
