@@ -180,6 +180,30 @@ def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32):
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def mrc_answer_f1(nbest_pdf, gold_map: dict[str, set[str]]) -> dict:
+    """Answer-set EM / precision / recall / F1 per SQuAD-style eval
+    (``run_mrc_albert.py`` squad F1 analog, computed over entity SETS since
+    the prompt asks for all answers, not one span).
+
+    ``gold_map``: example_id → set of gold answer strings."""
+    tp = fp = fn = 0
+    exact = 0
+    n = 0
+    for ex, ents in zip(nbest_pdf["example_id"], nbest_pdf["entities"]):
+        gold = gold_map.get(ex, set())
+        pred = set(ents)
+        tp += len(pred & gold)
+        fp += len(pred - gold)
+        fn += len(gold - pred)
+        exact += int(pred == gold)
+        n += 1
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"exact_match": exact / n if n else 0.0, "precision": prec,
+            "recall": rec, "f1": f1, "n_examples": n}
+
+
 def mrc_pipeline(corpus_ds, max_span: int = 200, stride: int = 100,
                  n_best: int = 20):
     """corpus → per-(file × question) n-best entity lists."""

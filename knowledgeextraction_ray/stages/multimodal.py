@@ -88,6 +88,43 @@ class DecodeImage:
         })
 
 
+class AudioFeatures:
+    """Actor: audio payload → frame-energy features (decode stubbed).
+
+    Real decode (soundfile/ffmpeg) is absent: ``fake=True`` synthesizes a
+    deterministic waveform from the payload hash; the Ray-side plumbing
+    (framing math from meta_sample_rate, fixed-size feature vector, small
+    batches) is real."""
+
+    def __init__(self, fake: bool = False, n_frames: int = 16):
+        self.fake = fake
+        self.n_frames = n_frames
+
+    def _decode_one(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio codec not available in this environment; "
+                "integrate soundfile/ffmpeg here")
+        seed = int.from_bytes(sha256(payload).digest()[4:8], "big")
+        rs = np.random.RandomState(seed)
+        return rs.standard_normal(sample_rate)      # 1 s of fake audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload, sr in zip(batch["payload"].to_pylist(),
+                               batch["meta_sample_rate"].to_pylist()):
+            wave = self._decode_one(payload, sr)
+            frames = np.array_split(wave, self.n_frames)
+            energy = np.array([float(np.sqrt((f ** 2).mean()))
+                               for f in frames], dtype=np.float32)
+            feats.append(energy.tolist())
+        return pa.Table.from_pydict({
+            "media_id": batch["media_id"],
+            "frame_energy": pa.array(feats,
+                                     pa.list_(pa.float32(), self.n_frames)),
+        })
+
+
 class SampleFrames:
     """Actor: video rows → exploded frame rows (every k-th frame index).
 

@@ -39,3 +39,16 @@ def test_sample_frames_fanout():
     for mid, n in n_frames.items():
         assert counts[mid] == len(range(0, n, 4))
     assert (out["frame_index"] % 4 == 0).all()
+
+
+def test_audio_features_pipeline_fake():
+    from knowledgeextraction_ray.stages.multimodal import AudioFeatures
+    media = make_fake_media(10, "audio")
+    ds = rd.from_arrow(media)
+    out = ds.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": True},
+                         batch_format="pyarrow", batch_size=4,
+                         concurrency=(1, 2)).to_pandas()
+    assert len(out) == 10
+    assert all(len(f) == 16 for f in out["frame_energy"])
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(fake=False)._decode_one(b"x", 16000)

@@ -227,3 +227,28 @@ def test_prep_split_proportions(corpus_ready):
     assert n_train > 0
     # ~90% of ~1000 files (some produce 2 segments → ~1130 records total)
     assert 900 <= n_train <= 1150
+
+
+def test_mrc_answer_f1_vs_regex_gold(corpus_ready):
+    """MRC n-best answers vs regex-derivable gold: high recall expected
+    (the per-feature beam can drop low-rank candidates in dense windows, so
+    the gate is ≥0.9, not 1.0)."""
+    import re
+
+    from knowledgeextraction_ray.corpus import (MENTION_PATTERNS,
+                                                generate_files)
+    from knowledgeextraction_ray.functions.hashing import sha256_hex
+    from knowledgeextraction_ray.stages.mrc import mrc_answer_f1, mrc_pipeline
+
+    corpus = generate_files(range(60))
+    nbest = mrc_pipeline(rd.from_arrow(corpus)).to_pandas()
+    gold_map = {}
+    for content in corpus["content"].to_pylist():
+        sha = sha256_hex(content)
+        for qtype, pat in MENTION_PATTERNS.items():
+            gold_map[f"{sha}:{qtype}"] = set(
+                re.findall(pat, content))
+    m = mrc_answer_f1(nbest, gold_map)
+    assert m["n_examples"] == 240
+    assert m["precision"] == 1.0          # never invents answers
+    assert m["recall"] >= 0.9             # beam may drop dense tail
