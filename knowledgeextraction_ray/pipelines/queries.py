@@ -15,7 +15,6 @@ from ..config import PipelineConfig
 from ..functions.hashing import sha256_column
 from .kg import kg_pipeline, linked_mentions, read_corpus
 from ..stages.canonicalize import canonicalize_dataset
-from ..stages.mentions import mentions_dataset
 from ..stages.ner_scorer import score_dataset
 from ..stages.segmenter import segment_dataset
 
@@ -320,10 +319,8 @@ def q_nre_relations(sf_dir: str):
 def q_prep_tagger_records(sf_dir: str):
     """Prep pipeline output (train split) row count + char/label invariants
     checked downstream; returns the train tagger records."""
-    from ..stages.mentions import recover_mentions  # noqa: F401
     from .kg import read_corpus
     from .prep import prep_pipeline
-    from ..pipelines.evaluate import GoldTagger  # noqa: F401
     import pyarrow as pa
 
     from ..corpus import MENTION_PATTERNS

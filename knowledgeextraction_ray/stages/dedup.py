@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min  # noqa: F401  (exact_dedup option)
 
 from ..functions.hashing import sha256_column
 
@@ -209,21 +209,22 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
              .groupby("coarse")
              .map_groups(coarse_pairs, batch_format="pandas"))
 
-    # a pair can surface from several coarse groups → merge on the int key
-    # (bucketed: built-in aggregate is ~0.3 ms/distinct key on this Ray
-    # version — see groupagg.py), then decode back to (doc_id_a, doc_id_b)
-    from .groupagg import bucketed_agg
-    merged = bucketed_agg(pairs, ["pair_key"],
-                          {"n_bands": ("n_bands", "sum")}, num_buckets=64)
-
-    def decode(batch: pa.Table) -> pa.Table:
-        k = batch["pair_key"].to_numpy()
-        return pa.Table.from_pydict({
-            "doc_id_a": pa.array(k >> 31, pa.int64()),
-            "doc_id_b": pa.array(k & ((1 << 31) - 1), pa.int64()),
-            "n_bands": batch["n_bands"],
-        })
-    return merged.map_batches(decode, batch_format="pyarrow")
+    # a pair can surface from several coarse groups → merge on the int key.
+    # Pair-key rows scale with near-dup density, not corpus size, so the
+    # driver merge (one np.unique) beats a distributed groupby's fixed
+    # shuffle cost by a wide margin; for extreme pair volumes use
+    # ``groupagg.bucketed_agg(pairs, ["pair_key"], ...)`` instead.
+    import ray.data as rd
+    pdf = pairs.to_pandas()
+    keys, inverse = np.unique(pdf["pair_key"].to_numpy(),
+                              return_inverse=True)
+    n_bands = np.zeros(len(keys), dtype=np.int64)
+    np.add.at(n_bands, inverse, pdf["n_bands"].to_numpy())
+    return rd.from_arrow(pa.Table.from_pydict({
+        "doc_id_a": pa.array(keys >> 31, pa.int64()),
+        "doc_id_b": pa.array(keys & ((1 << 31) - 1), pa.int64()),
+        "n_bands": pa.array(n_bands, pa.int64()),
+    }))
 
 
 def shingle_jaccard(a: str, b: str, k: int = 5) -> float:

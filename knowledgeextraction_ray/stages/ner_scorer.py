@@ -30,8 +30,7 @@ import pyarrow as pa
 from ..config import ScorerConfig, SegmentConfig
 from ..corpus import LABELS, MENTION_PATTERNS
 from ..functions.bio import label_vocab
-from ..functions.featurize import (CLS_ID, ID2CHAR, PAD_ID, SEP_ID,
-                                   featurize_batch)
+from ..functions.featurize import ID2CHAR, featurize_batch
 
 LABEL_LIST = label_vocab(LABELS)          # ["O", "IMPORT-B", "IMPORT-I", ...]
 LABEL2ID = {l: i for i, l in enumerate(LABEL_LIST)}

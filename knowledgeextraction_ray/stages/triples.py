@@ -104,7 +104,6 @@ def _add_dedup_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
 
 
 def _dedup_bucket(g):
-    import pandas as pd  # noqa: F401
     return (g.drop(columns=["bucket"])
             .groupby(["subj", "pred", "obj"], sort=False)
             .agg(repo=("repo", "min"), path=("path", "min"),
