@@ -160,6 +160,40 @@ def _merge_example(g: pd.DataFrame, n_best: int) -> dict:
             "na_prob": na_prob}
 
 
+def _merge_bucket(g: pd.DataFrame, n_best: int) -> pd.DataFrame:
+    """Vectorized fan-in for ALL examples in a bucket — same semantics as
+    :func:`_merge_example` (parity-tested) but one pandas pipeline instead
+    of per-example Python (a per-example loop measured ~1 ms/example →
+    dominated the whole MRC pipeline)."""
+    na = g.groupby("example_id", sort=True)["cls_logit"].mean()
+    real = g[g["cand_start"] >= 0]
+    cell = (real.groupby(["example_id", "cand_start", "cand_end"],
+                         sort=False)
+            .agg(s=("start_log_prob", "mean"), e=("end_log_prob", "mean"),
+                 text=("answer_text", "first"))
+            .reset_index())
+    cell["total"] = cell["s"] + cell["e"]
+    cell = cell.sort_values(["example_id", "total", "cand_start",
+                             "cand_end"],
+                            ascending=[True, False, True, True],
+                            kind="mergesort")
+    cell = cell.drop_duplicates(["example_id", "text"], keep="first")
+    cell = cell.groupby("example_id", sort=False).head(n_best)
+    mx = cell.groupby("example_id", sort=False)["total"].transform("max")
+    cell["p"] = np.exp(cell["total"] - mx)
+    cell["p"] /= cell.groupby("example_id",
+                              sort=False)["p"].transform("sum")
+    lists = (cell.groupby("example_id", sort=True)
+             .agg(entities=("text", list), probabilities=("p", list)))
+    out = pd.DataFrame({"na_prob": na}).join(lists, how="left")
+    out["entities"] = out["entities"].apply(
+        lambda v: v if isinstance(v, list) else [])
+    out["probabilities"] = out["probabilities"].apply(
+        lambda v: v if isinstance(v, list) else [])
+    out = out.reset_index()
+    return out[["example_id", "entities", "probabilities", "na_prob"]]
+
+
 def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32):
     """feature-level predictions → per-example n-best rows."""
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -167,17 +201,10 @@ def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32):
         return batch.append_column("bucket",
                                    pa.array(b.astype(np.int32)))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for ex, sub in g.groupby("example_id", sort=True):
-            m = _merge_example(sub, n_best)
-            rows.append({"example_id": ex, **m})
-        return pd.DataFrame(rows, columns=["example_id", "entities",
-                                           "probabilities", "na_prob"])
-
     return (scored.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(per_bucket, batch_format="pandas"))
+            .map_groups(lambda g: _merge_bucket(g, n_best),
+                        batch_format="pandas"))
 
 
 def mrc_answer_f1(nbest_pdf, gold_map: dict[str, set[str]]) -> dict:

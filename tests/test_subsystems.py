@@ -252,3 +252,38 @@ def test_mrc_answer_f1_vs_regex_gold(corpus_ready):
     assert m["n_examples"] == 240
     assert m["precision"] == 1.0          # never invents answers
     assert m["recall"] >= 0.9             # beam may drop dense tail
+
+
+def test_merge_bucket_matches_merge_example():
+    """Vectorized bucket merge ≡ per-example reference merge."""
+    import numpy as np
+
+    from knowledgeextraction_ray.stages.mrc import (_merge_bucket,
+                                                    _merge_example)
+    rs = np.random.RandomState(5)
+    rows = []
+    for ex in range(12):
+        n_feat = rs.randint(1, 6)
+        for f in range(n_feat):
+            if rs.rand() < 0.2:
+                rows.append({"example_id": f"e{ex}", "cand_start": -1,
+                             "cand_end": -1, "start_log_prob": -1e4,
+                             "end_log_prob": -1e4, "cls_logit": 5.0,
+                             "answer_text": ""})
+                continue
+            for c in range(rs.randint(1, 4)):
+                s = int(rs.randint(0, 50))
+                rows.append({"example_id": f"e{ex}", "cand_start": s,
+                             "cand_end": s + int(rs.randint(1, 6)),
+                             "start_log_prob": float(-0.1 * c),
+                             "end_log_prob": float(-0.05 * c),
+                             "cls_logit": -5.0,
+                             "answer_text": f"ans{s % 7}"})
+    g = pd.DataFrame(rows)
+    vec = _merge_bucket(g, n_best=5).set_index("example_id")
+    for ex, sub in g.groupby("example_id"):
+        ref = _merge_example(sub, n_best=5)
+        got = vec.loc[ex]
+        assert got["entities"] == ref["entities"], ex
+        assert np.allclose(got["probabilities"], ref["probabilities"])
+        assert abs(got["na_prob"] - ref["na_prob"]) < 1e-12
