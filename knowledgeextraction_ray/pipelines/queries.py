@@ -393,6 +393,36 @@ ROWS_ONLY_QUERIES = {
 }
 
 
+def q_ner_predictions(sf_dir: str):
+    """Serving-schema predictions (FIXTURES.md F4, reference response shape
+    ``{guid, words, tags}`` per query — ``nerservice/ner_server.py:22-27``):
+    per segment, the char tokens and their BIO tags."""
+    import pyarrow as pa
+
+    from ..stages.ner_scorer import LABEL_LIST, score_dataset
+    from ..stages.segmenter import segment_dataset
+    from .kg import read_corpus
+    cfg = PipelineConfig()
+    scored = score_dataset(segment_dataset(read_corpus(sf_dir), cfg.segment),
+                           cfg.scorer, cfg.segment)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        guids = batch["guid"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tag_ids = batch["tag_ids"].to_pylist()
+        words = [list(t) for t in texts]
+        tags = [[LABEL_LIST[i] for i in ids] for ids in tag_ids]
+        return pa.Table.from_pydict({
+            "guid": pa.array(guids, pa.string()),
+            "words": pa.array(words, pa.list_(pa.string())),
+            "tags": pa.array(tags, pa.list_(pa.string())),
+        })
+    return scored.map_batches(fmt, batch_format="pyarrow")
+
+
+ROWS_ONLY_QUERIES["ner_predictions"] = q_ner_predictions
+
+
 def q_doc_dedup_keep(sf_dir: str):
     """Near-dedup keep/drop decision per doc (LSH → verify → connected
     components, min-id representative)."""
