@@ -264,6 +264,15 @@ def q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, query_ids=list(range(8)), k=10)
 
 
+def q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.knn import knn_ivf
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_ivf(ds, query_ids=list(range(8)), k=10)
+
+
 def q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -385,6 +394,7 @@ ROWS_ONLY_QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_neardup": q_embedding_neardup,
     "ner_eval_prf": q_ner_eval_prf,
     "mrc_nbest": q_mrc_nbest,

@@ -97,6 +97,61 @@ def knn_brute(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     return _global_topk(cands, k)
 
 
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 15,
+            seed: int = 13) -> np.ndarray:
+    """Plain seeded Lloyd's k-means on a driver-side sample (numpy only)."""
+    rs = np.random.RandomState(seed)
+    centroids = sample[rs.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def knn_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
+            n_probe: int = 4, sample_size: int = 2000,
+            seed: int = 13) -> pd.DataFrame:
+    """IVF-style approximate top-k: a k-means coarse quantizer (trained on a
+    driver-side SAMPLE — the classic IVF recipe) partitions the corpus; each
+    query scans only its ``n_probe`` nearest cells.
+
+    One pass assigns cells (centroids broadcast in the task closure — a few
+    KB); the scan is the same broadcast-query brute kernel restricted to the
+    probed cells. Recall grows with n_probe; exactness is knn_brute."""
+    sample = (ds.select_columns(["embedding"])
+              .random_sample(min(1.0, sample_size / max(1, ds.count())),
+                             seed=seed)
+              .to_pandas())
+    sm = np.array(sample["embedding"].tolist(), dtype=np.float64)
+    centroids = _kmeans(sm, min(n_clusters, len(sm)), seed=seed)
+
+    q_tab = _query_side(ds, query_ids).sort_values("vec_id")
+    qm = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = set(np.argsort(qd, axis=1)[:, :n_probe].ravel().tolist())
+    q_ids = q_tab["vec_id"].tolist()
+    ref = ray.put((q_ids, qm))
+
+    def in_probed_cells(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cells = d.argmin(axis=1)
+        mask = np.isin(cells, list(probe))
+        return batch.filter(pa.array(mask))
+
+    from ..runtime import pool_size
+    filtered = ds.map_batches(in_probed_cells, batch_format="pyarrow")
+    cands = filtered.map_batches(
+        BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, pool_size(1.0)))
+    return _global_topk(cands, k)
+
+
 def knn_lsh(ds, query_ids: list[int], k: int = 10, bits: int = 8,
             dim: int = 64, seed: int = 5) -> pd.DataFrame:
     """Approximate top-k: hyperplane-LSH bucket the corpus once (one pass),

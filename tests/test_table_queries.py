@@ -186,3 +186,25 @@ def test_minhash_dedup_keep_planted():
             grp["doc_id"].min()
     # every doc appears exactly once
     assert len(out) == len(rows)
+
+
+def test_knn_ivf_finds_planted_neighbors():
+    """IVF with enough probes finds planted high-cosine neighbors top-1."""
+    from knowledgeextraction_ray.stages.knn import knn_brute, knn_ivf
+    rs = np.random.RandomState(21)
+    vecs = rs.standard_normal((300, 64))
+    for q in range(4):
+        vecs[200 + q] = vecs[q] + rs.standard_normal(64) * 0.05
+    rows = [{"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()}
+            for i in range(300)]
+    ds = rd.from_items(rows)
+    approx = knn_ivf(ds, query_ids=[0, 1, 2, 3], k=3, n_clusters=8,
+                     n_probe=3)
+    for q in range(4):
+        top = approx[approx["q_id"] == q].iloc[0]["neighbor_id"]
+        assert top == 200 + q
+    # full-probe IVF == brute force (scan everything)
+    brute = knn_brute(ds, query_ids=[0, 1], k=5)
+    full = knn_ivf(ds, query_ids=[0, 1], k=5, n_clusters=8, n_probe=8)
+    pd.testing.assert_frame_equal(
+        brute.reset_index(drop=True), full.reset_index(drop=True))
