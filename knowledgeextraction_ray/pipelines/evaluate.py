@@ -95,12 +95,13 @@ def ner_eval(sf_dir: str, cfg: PipelineConfig | None = None,
     # join's aggregator actors concurrently — full-CPU reservations starve
     # the read stages in small sessions (4-CPU test fixture) and deadlock.
     light_scorer = dataclasses.replace(cfg.scorer, num_cpus=0.5)
-    segs = segment_dataset(read_corpus(sf_dir), cfg.segment)
+    # one read+segment pass, materialized, feeds BOTH branches (gold and
+    # pred) — re-deriving segments per branch doubled the extraction work
+    segs = segment_dataset(read_corpus(sf_dir), cfg.segment).materialize()
     from ..runtime import pool_size
     gold = segs.map_batches(GoldTagger, batch_format="pyarrow",
                             concurrency=(1, pool_size(0.5)), num_cpus=0.5)
-    scored = score_dataset(segment_dataset(read_corpus(sf_dir), cfg.segment),
-                           light_scorer, cfg.segment)
+    scored = score_dataset(segs, light_scorer, cfg.segment)
     pred = scored.map_batches(lambda b: _pred_tags(b, corrupt_frac),
                               batch_format="pyarrow")
     joined = pred.join(gold, join_type="inner", num_partitions=8,
