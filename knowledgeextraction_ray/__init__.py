@@ -19,3 +19,28 @@ belongs to the caller (CLI scripts, bench.py, the test fixture).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep import light — stages pull in Ray)."""
+    api = {
+        "kg_pipeline": ("knowledgeextraction_ray.pipelines.kg",
+                        "kg_pipeline"),
+        "linked_mentions": ("knowledgeextraction_ray.pipelines.kg",
+                            "linked_mentions"),
+        "ner_eval": ("knowledgeextraction_ray.pipelines.evaluate",
+                     "ner_eval"),
+        "run_resumable_kg": ("knowledgeextraction_ray.state.lineage",
+                             "run_resumable_kg"),
+        "PipelineConfig": ("knowledgeextraction_ray.config",
+                           "PipelineConfig"),
+        "build_queries": ("knowledgeextraction_ray.pipelines.queries",
+                          "build_queries"),
+        "build_oracles": ("knowledgeextraction_ray.pipelines.queries",
+                          "build_oracles"),
+    }
+    if name in api:
+        import importlib
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

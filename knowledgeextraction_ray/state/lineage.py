@@ -61,20 +61,13 @@ def _run_wave(wave: int, files: list[str], out_dir: str,
     manifest. Returns the counter dict."""
     import ray.data as rd
 
-    from ..stages.linking import link_dataset
-    from ..stages.mentions import mentions_dataset
-    from ..stages.ner_scorer import score_dataset
-    from ..stages.segmenter import segment_dataset
+    from ..stages.fused import fused_linked_mentions
 
     part_dir = os.path.join(out_dir, "mentions", f"part-{wave:04d}")
     tmp = tempfile.mkdtemp(prefix=f"wave{wave}_", dir=out_dir)
     try:
         ds = rd.read_parquet(files)
-        segs = segment_dataset(ds, cfg.segment)
-        scored = score_dataset(segs, cfg.scorer, cfg.segment)
-        ments = mentions_dataset(scored)
-        linked = link_dataset(ments, alias_parquet,
-                              concurrency=cfg.scorer.concurrency)
+        linked = fused_linked_mentions(ds, cfg, alias_parquet)
         linked.write_parquet(tmp)
         # counters from the landed partition (cheap metadata scan + one
         # column read — the partition is this wave's mentions only)
