@@ -178,4 +178,19 @@ TABLE_ORACLES = {
     "doc_normalize": SQL_DOC_NORMALIZE,
     "doc_lang_distribution":
         "select lang, count(*) as n_docs from documents group by 1",
+    "events_sliding_window": """
+select user_id,
+       date_trunc('hour', ts) - to_hours(i) as window_start,
+       count(*) as n_events,
+       sum(cast(round(value * 10000, 0) as bigint)) as sum_value_e4
+from events cross join (select unnest([0, 1]) as i)
+group by 1, 2
+""",
+    "top_orders_per_customer": """
+select o_custkey, o_orderkey, o_totalprice,
+       cast(row_number() over (
+         partition by o_custkey
+         order by o_totalprice desc, o_orderkey asc) as bigint) as rank
+from orders qualify rank <= 3
+""",
 }

@@ -386,8 +386,24 @@ def q_kg_triples_by_repo(sf_dir: str):
                         num_buckets=16)
 
 
+def q_events_sliding_window(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.windows import sliding_window
+    return sliding_window(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                          columns=["user_id", "ts",
+                                                   "value"]))
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    from ..stages.relational import top_orders_per_customer
+    return top_orders_per_customer(sf_dir)
+
+
 TABLE_QUERIES["doc_lang_distribution"] = q_doc_lang_distribution
 TABLE_QUERIES["kg_triples_by_repo"] = q_kg_triples_by_repo
+TABLE_QUERIES["events_sliding_window"] = q_events_sliding_window
+TABLE_QUERIES["top_orders_per_customer"] = q_top_orders_per_customer
 
 ROWS_ONLY_QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,

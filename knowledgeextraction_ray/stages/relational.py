@@ -105,6 +105,33 @@ def top_orders(sf_dir: str, k: int = 10):
                    descending=[True, False]).limit(k)
 
 
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """→ top-k orders per customer (grouped top-k, reference T1 as a
+    standalone relational op). High-cardinality group key → coarse bucket +
+    vectorized pandas sort/head per bucket (no per-customer Python)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["bucket"])
+             .sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort"))
+        g = g.groupby("o_custkey", sort=False).head(k).copy()
+        g["rank"] = g.groupby("o_custkey", sort=False).cumcount() + 1
+        return g
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def part_type_stats(sf_dir: str):
     """→ per p_type: n_parts, min/max retail price in cents (Min/Max/Count
     aggregate family, exact values)."""

@@ -45,6 +45,42 @@ def tumbling_window(ds):
                        Sum("value_e4", alias_name="sum_value_e4")))
 
 
+def sliding_window(ds, size_hours: int = 2, slide_hours: int = 1):
+    """→ (user_id, window_start, n_events, sum_value_e4): sliding window of
+    ``size`` hours advancing every ``slide`` hours.
+
+    Expressed as a fan-out + keyed aggregate: each event belongs to
+    ``size/slide`` windows, so the map EXPLODES each row into its windows
+    (window_start = aligned hour offsets) and the tumbling aggregate
+    machinery does the rest — the standard batch formulation of sliding
+    windows (no event-time runtime needed)."""
+    k = size_hours // slide_hours
+    slide_us = slide_hours * 3_600_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        base = (ts_us // slide_us) * slide_us      # aligned slide boundary
+        users = batch["user_id"].to_numpy()
+        val_e4 = np.rint(batch["value"].to_numpy() * 10_000.0).astype("int64")
+        outs_u, outs_w, outs_v = [], [], []
+        for i in range(k):
+            w = base - i * slide_us
+            outs_u.append(users)
+            outs_w.append(w)
+            outs_v.append(val_e4)
+        return pa.Table.from_pydict({
+            "user_id": np.concatenate(outs_u),
+            "window_start": pa.array(
+                np.concatenate(outs_w).astype("datetime64[us]")),
+            "value_e4": np.concatenate(outs_v),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["user_id", "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_e4", alias_name="sum_value_e4")))
+
+
 _GAP_US = 30 * 60 * 1_000_000        # 30 min session gap, microseconds
 
 
