@@ -166,3 +166,23 @@ def test_conlleval_type_off_and_split_chunk():
     c2.update(gold, ["A-B", "A-B", "A-I", "O"])      # split chunk: no credit
     assert c2.metrics()["correct_chunks"] == 0
     assert c2.pred_chunks == 2
+
+
+def test_spans_from_tag_ids_matches_string_path():
+    """Vectorized id-based span recovery ≡ bio_to_spans on label strings
+    (randomized, including orphan-I and adjacent-B shapes)."""
+    import numpy as np
+
+    from knowledgeextraction_ray.stages.mentions import (_TYPE_NAME,
+                                                         spans_from_tag_ids)
+    from knowledgeextraction_ray.stages.ner_scorer import (LABEL_LIST,
+                                                           NUM_LABELS)
+    rs = np.random.RandomState(11)
+    for _ in range(300):
+        n = rs.randint(0, 40)
+        ids = rs.randint(0, NUM_LABELS, size=n).astype(np.int8)
+        labels = [LABEL_LIST[t] for t in ids]
+        want = bio_to_spans(labels)
+        got = [(_TYPE_NAME[ti], s, e)
+               for (ti, s, e) in spans_from_tag_ids(ids)]
+        assert got == want, (labels, got, want)
