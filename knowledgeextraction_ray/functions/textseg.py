@@ -62,6 +62,45 @@ def merge_quoted(units: list[str]) -> list[str]:
     return out
 
 
+_SENT_RE_EXACT = re.compile(r"(；|，|？|。|！|\…\…)")
+
+
+def to_sentences(paragraph: str) -> list[str]:
+    """EXACT reference semantics (``text_segment.py:24-38``), differentially
+    tested against the reference module itself:
+
+    split keeping the delimiter (single CJK punctuation or the TWO-char
+    ellipsis ``……`` — a lone ``…`` does not split), re-attach delimiter to
+    the preceding fragment, strip and drop empties, move a leading close
+    quote back, then merge fragments until each “ has its ” (flag-based:
+    once an unclosed “ is seen, everything is appended to that fragment
+    until a fragment containing ” arrives)."""
+    parts = _SENT_RE_EXACT.split(paragraph)
+    parts.append("")
+    sents = ["".join(p) for p in zip(parts[0::2], parts[1::2])]
+    sents = [s.strip() for s in sents if s.strip()]
+    for j in range(1, len(sents)):
+        if sents[j] and sents[j][0] == "”":
+            sents[j - 1] += "”"
+            sents[j] = sents[j][1:]
+    merged = True
+    out: list[str] = []
+    for s in sents:
+        has_open = "“" in s
+        has_close = "”" in s
+        if has_open and not has_close:
+            merged = False
+            out.append(s)
+        elif has_close and not merged:
+            merged = True
+            out[-1] += s
+        elif not has_open and not has_close and not merged:
+            out[-1] += s
+        else:
+            out.append(s)
+    return [s.strip() for s in out if s.strip()]
+
+
 def split_lines(text: str) -> list[str]:
     """Code analog of the sentence splitter: lines with '\\n' re-attached."""
     units = text.split("\n")
