@@ -178,6 +178,17 @@ TABLE_ORACLES = {
     "doc_normalize": SQL_DOC_NORMALIZE,
     "doc_lang_distribution":
         "select lang, count(*) as n_docs from documents group by 1",
+    "doc_token_stats": f"""
+with c as (
+  select lang,
+         cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint)
+           as n_tokens
+  from documents)
+select lang, count(*) as n_docs,
+       min(n_tokens) as min_tokens, max(n_tokens) as max_tokens,
+       cast(median(n_tokens) as double) as median_tokens
+from c group by 1
+""",
     "events_sliding_window": """
 select user_id,
        date_trunc('hour', ts) - to_hours(i) as window_start,

@@ -386,6 +386,41 @@ def q_kg_triples_by_repo(sf_dir: str):
                         num_buckets=16)
 
 
+def q_doc_token_stats(sf_dir: str):
+    """Per-lang token-count distribution incl. MEDIAN (quantile aggregate).
+
+    Low-cardinality group key (5 langs) → plain ``groupby().map_groups`` is
+    the right tool (exact quantiles need the group's values together; with
+    few heavy groups there is no per-group-task overhead problem)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.text_analysis import token_count_batch
+
+    def add_lang(batch: pa.Table) -> pa.Table:
+        counted = token_count_batch(batch)
+        return counted.append_column("lang", batch["lang"])
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_tokens"].to_numpy()
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "n_docs": [len(v)],
+            "min_tokens": [int(v.min())],
+            "max_tokens": [int(v.max())],
+            "median_tokens": [float(np.median(v))],
+        })
+
+    return (_docs(sf_dir, ["doc_id", "lang", "text"])
+            .map_batches(add_lang, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(per_lang, batch_format="pandas"))
+
+
+TABLE_QUERIES["doc_token_stats"] = q_doc_token_stats
+
+
 def q_events_sliding_window(sf_dir: str):
     import ray.data as rd
 
