@@ -33,10 +33,12 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_minhash_pairs",
     "doc_quality",
+    "doc_token_stats",
     "knn_topk",
     "events_window",
     "q1_pricing_summary",
     "ner_eval_prf",
+    "mrc_nbest",
 ]
 
 
