@@ -136,4 +136,6 @@ KG_ORACLES = {
     "kg_canonical": sql_canonical,
     "kg_triples": sql_triples,
     "kg_triples_by_repo": sql_triples_by_repo,
+    # the resumable/checkpointed path must produce the identical triple set
+    "kg_triples_resumable": sql_triples,
 }

@@ -386,6 +386,31 @@ def q_kg_triples_by_repo(sf_dir: str):
                         num_buckets=16)
 
 
+def q_kg_triples_resumable(sf_dir: str):
+    """The CHECKPOINTED path under the same SQL gate as kg_triples: run the
+    wave-based resumable pipeline to a scratch dir and return the final
+    partitioned triples (logical columns only). Must equal the in-memory
+    flagship — and therefore the DuckDB oracle — exactly."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..corpus import sf_name_of
+    from ..state.lineage import run_resumable_kg
+    out = f"/tmp/kgray_resume_query/{sf_name_of(sf_dir)}"
+    shutil.rmtree(out, ignore_errors=True)       # clean deterministic run
+    run_resumable_kg(sf_dir, out, num_waves=4)
+    tdir = os.path.join(out, "triples")
+    files = [os.path.join(tdir, f) for f in sorted(os.listdir(tdir))
+             if f.endswith(".parquet")]
+    return rd.read_parquet(files)
+
+
+TABLE_QUERIES["kg_triples_resumable"] = q_kg_triples_resumable
+
+
 def q_doc_token_stats(sf_dir: str):
     """Per-lang token-count distribution incl. MEDIAN (quantile aggregate).
 
