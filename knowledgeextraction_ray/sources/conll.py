@@ -49,7 +49,7 @@ def read_conll_dataset(path: str, normalize_digits: bool = True):
     def split(batch):
         import pyarrow as pa
         out = {"sent_id": [], "tokens": [], "tags": []}
-        for pi, text in enumerate(batch["text"]):
+        for pi, text in enumerate(batch["text"].to_pylist()):
             for si, sent in enumerate(read_conll_text(text,
                                                       normalize_digits)):
                 out["sent_id"].append(f"{pi}:{si}")
