@@ -287,3 +287,36 @@ def test_merge_bucket_matches_merge_example():
         assert got["entities"] == ref["entities"], ex
         assert np.allclose(got["probabilities"], ref["probabilities"])
         assert abs(got["na_prob"] - ref["na_prob"]) < 1e-12
+
+
+def test_link_mentions_actor_variant_matches_stateless(corpus_ready):
+    """The actor-pool linking form (kept for large-alias deployments) must
+    equal the default stateless form."""
+    import pyarrow.parquet as pq
+
+    from knowledgeextraction_ray.corpus import alias_path
+    from knowledgeextraction_ray.stages.linking import (LinkMentions,
+                                                        link_batch)
+    ap = alias_path(corpus_ready)
+    import pyarrow as pa
+    batch = pa.Table.from_pydict({
+        "surface": ["main", "MAIN", "utils", "nonexistent_xyz", "Base"]})
+    a = LinkMentions(ap)(batch).to_pydict()
+    b = link_batch(batch, ap).to_pydict()
+    assert a == b
+    assert a["entity_id"][0] == "ent::main"         # ambiguous → max prior
+    assert a["entity_id"][3] == "ent::nonexistent_xyz"  # fallback
+    assert a["prior"][3] == 0.0
+
+
+def test_hash_join_wrapper():
+    from knowledgeextraction_ray.stages.joins import hash_join
+    left = rd.from_items([{"k": f"k{i % 4}", "a": i} for i in range(12)])
+    right = rd.from_items([{"k": f"k{i}", "b": i * 10} for i in range(3)])
+    got = hash_join(left, right, on="k", num_partitions=4).to_pandas()
+    lp = pd.DataFrame([{"k": f"k{i % 4}", "a": i} for i in range(12)])
+    rp = pd.DataFrame([{"k": f"k{i}", "b": i * 10} for i in range(3)])
+    want = lp.merge(rp, on="k")
+    assert len(got) == len(want)
+    assert (set(map(tuple, got[["k", "a", "b"]].values))
+            == set(map(tuple, want[["k", "a", "b"]].values)))
