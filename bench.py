@@ -95,8 +95,9 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same headline job at 8 and 32 CPUs in fresh processes.
 
-    Runs the N → 4N ladder 2 → 8 → 32 CPUs on a 4× corpus (virtual sf0.4,
-    same deterministic generator) and reports both pairwise efficiencies.
+    Runs the N → 4N ladder 2 → 8 → 32 CPUs on an 8× corpus (virtual sf0.8,
+    same deterministic generator — sized so per-level work dominates the
+    ~9 s fixed session/pool cost) and reports both pairwise efficiencies.
 
     Honesty note on the two pairs: 2 → 8 measures what a 4× CLUSTER scale-up
     measures — more cores against a non-saturated memory system — and is the
@@ -105,7 +106,7 @@ def run_scaling() -> dict:
     (this node ceilings near ~200k triples/s), a contention a 4× multi-node
     cluster does not share; it is reported alongside for transparency."""
     scaling_dir = os.environ.get("GRAFT_SCALING_SF_DIR",
-                                 "/tmp/kgray_virtual/sf0.4")
+                                 "/tmp/kgray_virtual/sf0.8")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
