@@ -124,7 +124,7 @@ triples as (
   from linked l join canonical c using (surface_norm)
   group by 1, 2, 3)
 select repo, pred, count(*) as n_triples,
-       sum(n_mentions) as n_mentions
+       cast(sum(n_mentions) as bigint) as n_mentions
 from triples group by 1, 2
 """
 

@@ -91,7 +91,7 @@ qualify rank <= 10
 SQL_EVENTS_WINDOW = """
 select user_id, date_trunc('hour', ts) as window_start,
        count(*) as n_events,
-       sum(cast(round(value * 10000, 0) as bigint)) as sum_value_e4
+       cast(sum(cast(round(value * 10000, 0) as bigint)) as bigint) as sum_value_e4
 from events group by 1, 2
 """
 
@@ -116,9 +116,9 @@ from s2 group by 1, 2
 
 SQL_Q1 = """
 select l_returnflag, l_linestatus,
-       sum(cast(round(l_quantity * 100, 0) as bigint)) as sum_qty_e2,
-       sum(cast(round(l_extendedprice * 100, 0) as bigint)) as sum_price_e2,
-       sum(cast(round(l_discount * 10000, 0) as bigint)) as sum_disc_e4,
+       cast(sum(cast(round(l_quantity * 100, 0) as bigint)) as bigint) as sum_qty_e2,
+       cast(sum(cast(round(l_extendedprice * 100, 0) as bigint)) as bigint) as sum_price_e2,
+       cast(sum(cast(round(l_discount * 10000, 0) as bigint)) as bigint) as sum_disc_e4,
        count(*) as count_order
 from lineitem
 where l_shipdate <= timestamp '1998-09-02'
@@ -128,7 +128,7 @@ group by 1, 2
 SQL_ORDERS_BY_NATION = """
 select coalesce(n.n_name, 'UNKNOWN') as n_name,
        count(*) as n_orders,
-       sum(cast(round(o.o_totalprice * 100, 0) as bigint)) as sum_total_e2
+       cast(sum(cast(round(o.o_totalprice * 100, 0) as bigint)) as bigint) as sum_total_e2
 from orders o
 left join customer c on o.o_custkey = c.c_custkey
 left join nation n on c.c_nationkey = n.n_nationkey
@@ -193,7 +193,7 @@ from c group by 1
 select user_id,
        date_trunc('hour', ts) - to_hours(i) as window_start,
        count(*) as n_events,
-       sum(cast(round(value * 10000, 0) as bigint)) as sum_value_e4
+       cast(sum(cast(round(value * 10000, 0) as bigint)) as bigint) as sum_value_e4
 from events cross join (select unnest([0, 1]) as i)
 group by 1, 2
 """,
