@@ -11,8 +11,11 @@ Reimplements the semantics of ``knowledgeextractor/utils/crf_utils.py:72-220``
 - zero-pad ids and mask to ``max_seq_length``; pad label is ``O``
   (``crf_utils.py:166-198``).
 
-Vectorized: text → utf-8 bytes → 256-entry numpy lookup table, one
-``np.take`` per row; the whole batch becomes dense ``(N, L) int32`` arrays.
+Vectorized: text → UTF-32 code points (``np.frombuffer`` over the fixed-width
+encoding — one uint32 per CHARACTER, so ids stay aligned with char offsets for
+non-ASCII text) → 128-entry lookup table; the whole batch becomes dense
+``(N, L) int32`` arrays. Code points outside the vocab map to ``[UNK]``
+one-to-one (never one-per-byte).
 The inverse (``recover_words_tags``, ``utils/crf_processor.py:86-103``) strips
 ``[CLS]`` and cuts at the first ``[SEP]``.
 """
@@ -30,18 +33,17 @@ CHAR2ID = {c: i + _N_SPECIAL for i, c in enumerate(_CHARS)}
 ID2CHAR = {i: c for c, i in CHAR2ID.items()}
 VOCAB_SIZE = _N_SPECIAL + len(_CHARS)
 
-_BYTE_LUT = np.full(256, UNK_ID, dtype=np.int32)
+# all vocab chars are < U+0080; anything above maps to UNK via the where()
+_CP_LUT = np.full(128, UNK_ID, dtype=np.int32)
 for _c, _i in CHAR2ID.items():
-    _b = _c.encode("utf-8")
-    if len(_b) == 1:
-        _BYTE_LUT[_b[0]] = _i
+    _CP_LUT[ord(_c)] = _i
 
 
 def featurize_text(text: str, max_seq_length: int):
     """One text → (input_ids, input_mask) of length max_seq_length."""
     payload = text[: max_seq_length - 2]
-    raw = np.frombuffer(payload.encode("utf-8", "replace"), dtype=np.uint8)
-    ids = _BYTE_LUT[raw]  # non-ascii multibyte chars degrade to UNK runs
+    cp = np.frombuffer(payload.encode("utf-32-le"), dtype=np.uint32)
+    ids = np.where(cp < 128, _CP_LUT[cp & 127], UNK_ID).astype(np.int32)
     out = np.zeros(max_seq_length, dtype=np.int32)
     out[0] = CLS_ID
     out[1:1 + len(ids)] = ids

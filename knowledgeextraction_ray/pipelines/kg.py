@@ -68,8 +68,9 @@ def kg_pipeline(sf_dir: str, cfg: PipelineConfig | None = None):
     linked = linked_mentions(sf_dir, cfg).materialize()
     canon = canonicalize_dataset(linked, cfg.canonicalize.num_salts)
     cmap = canonical_map_of(canon)
-    # scope="block": file-derived subjects never span input blocks, so the
-    # dedup is block-local — no triple-stream shuffle (see triples_dataset)
+    # scope="block": duplicate triple keys are intra-file, so the bulk dedups
+    # block-locally with no shuffle; files that a dynamic block split cuts in
+    # half are repaired by the edge-merge path (see triples_dataset)
     return triples_dataset(linked, cmap,
                            concurrency=cfg.scorer.concurrency,
                            scope="block")

@@ -53,10 +53,17 @@ def _cached_canonical(canonical_ref) -> dict[str, str]:
 
 class EmitTriples:
     """map_batches body: linked mentions + broadcast canonical map → triples
-    (pre-deduped within the batch)."""
+    (pre-deduped within the batch).
 
-    def __init__(self, canonical_ref):
+    ``skip_subjects`` (tiny set) drops rows for subjects the block-scope
+    plan routes through the straddler repair path instead (see
+    triples_dataset); ``only_subjects`` inverts it for that repair pass."""
+
+    def __init__(self, canonical_ref, skip_subjects: frozenset | None = None,
+                 only_subjects: frozenset | None = None):
         self.canonical = _cached_canonical(canonical_ref)
+        self.skip = skip_subjects
+        self.only = only_subjects
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         repos = batch["repo"].to_pylist()
@@ -70,6 +77,10 @@ class EmitTriples:
         for repo, path, commit, sha, label, norm, ent in zip(
                 repos, paths, commits, shas, labels, norms, ents):
             subj = f"{repo}:{path}"
+            if self.skip is not None and subj in self.skip:
+                continue
+            if self.only is not None and subj not in self.only:
+                continue
             pred = PREDICATES[label]
             obj = self.canonical.get(norm, ent)
             key = (subj, pred, obj)
@@ -103,9 +114,12 @@ def _add_dedup_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("bucket", pa.array(buck))
 
 
-def _dedup_bucket(g):
-    return (g.drop(columns=["bucket"])
-            .groupby(["subj", "pred", "obj"], sort=False)
+def _dedup_pdf(pdf):
+    """Vectorized pandas merge of pre-deduped triple fragments: per-column
+    min provenance + summed counts (identical to EmitTriples' combiner when
+    each triple key carries a single (commit, sha) — true by construction,
+    subj encodes the file)."""
+    return (pdf.groupby(["subj", "pred", "obj"], sort=False)
             .agg(repo=("repo", "min"), path=("path", "min"),
                  commit=("commit", "min"),
                  content_sha256=("content_sha256", "min"),
@@ -113,9 +127,14 @@ def _dedup_bucket(g):
             .reset_index())
 
 
+def _dedup_bucket(g):
+    return _dedup_pdf(g.drop(columns=["bucket"]))
+
+
 def triples_dataset(linked_ds, canonical_map: dict[str, str],
                     concurrency: int | None = None, num_buckets: int = 64,
-                    scope: str = "global"):
+                    scope: str = "global",
+                    edge_driver_limit: int = 2_000_000):
     """linked mentions → deduplicated triple Dataset.
 
     The canonical map is ``ray.put`` ONCE; emit tasks read it zero-copy from
@@ -128,29 +147,90 @@ def triples_dataset(linked_ds, canonical_map: dict[str, str],
       triple key → vectorized pandas groupby-agg per bucket. 3× faster than
       a 3-string-key ``groupby().aggregate`` sort-shuffle (the bucket
       shuffle sorts one int32; the per-key work is C-side pandas).
-    - ``"block"``: NO shuffle. Valid under the partitioning invariant that
-      every occurrence of a triple key lands in one input block — true for
-      file-derived subjects (``subj = repo:path``, one file = one row, and
-      blocks are never split mid-row), which is exactly the flagship
-      corpus. At 10^12-file scale this is the right plan: duplicate triples
-      are intra-file, so an all-to-all exchange of the triple stream buys
-      nothing. EmitTriples consumes WHOLE blocks (``batch_size=None``) so
-      its in-batch combiner completes the dedup. The equality of both
-      scopes is oracle- and test-checked.
+    - ``"block"``: no triple-stream shuffle for the BULK. Duplicate triple
+      keys are intra-file by construction (``subj = repo:path``), so
+      EmitTriples' in-batch combiner (whole blocks, ``batch_size=None``)
+      completes the dedup for every file fully contained in one block. Ray
+      Data's dynamic block splitting CAN split a stage output mid-file
+      (``target_max_block_size``), so the invariant is repaired rather than
+      assumed: rows whose subj is a block's first/last file (the only
+      possible straddlers) are routed through a global merge — driver-side
+      pandas when tiny (the common case: ≤ 2 files per block), the bucketed
+      shuffle above ``edge_driver_limit`` rows. Bulk rows never shuffle.
+      The equality of both scopes is oracle- and test-checked, including
+      under a forced mid-file split (tests/test_dedup_scope.py).
 
     Deterministic representative either way: per-column min over provenance;
     counts sum the combiner counts."""
     ref = ray.put(canonical_map)
+    if scope == "block":
+        return _block_scope_triples(linked_ds, ref, num_buckets,
+                                    edge_driver_limit)
     emitted = linked_ds.map_batches(
         lambda b, _ref=ref: EmitTriples(_ref)(b),
         batch_format="pyarrow", batch_size=None)
-    if scope == "block":
-        return emitted
     return (emitted
             .map_batches(lambda b: _add_dedup_bucket(b, num_buckets),
                          batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(_dedup_bucket, batch_format="pandas"))
+
+
+def _block_boundaries(batch: pa.Table) -> pa.Table:
+    """First/last subj of a block — the only files a dynamic block split can
+    cut. Touches 2 rows regardless of block size."""
+    if len(batch) == 0:
+        return pa.Table.from_pydict({"subj": pa.array([], type=pa.string())})
+    first = f"{batch['repo'][0].as_py()}:{batch['path'][0].as_py()}"
+    last = f"{batch['repo'][-1].as_py()}:{batch['path'][-1].as_py()}"
+    return pa.Table.from_pydict({"subj": sorted({first, last})})
+
+
+def straddler_subjects(linked_ds) -> frozenset:
+    """Exact detection of files split across blocks: a file's mention rows
+    are contiguous (one fused-task output) so a subj appearing at the
+    boundary of ≥2 blocks has been split by dynamic block splitting — no
+    other layout produces it. One cheap scan (2 rows per block) + a driver
+    pull of #blocks tiny rows."""
+    pdf = linked_ds.map_batches(_block_boundaries, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    counts = pdf["subj"].value_counts()
+    return frozenset(counts[counts >= 2].index)
+
+
+def _block_scope_triples(linked_ds, ref, num_buckets: int,
+                         edge_driver_limit: int):
+    """Shuffle-free block-local dedup, exact under dynamic block splitting:
+    detect straddler files first (boundary scan above); in the common
+    no-split case this IS the single-pass plan. Otherwise the handful of
+    straddlers are excluded from the bulk emission and merged globally —
+    driver pandas for few, bucketed shuffle past ``edge_driver_limit``
+    (the 100-TB wave path uses scope="global" instead)."""
+    import ray.data as rd
+    suspects = straddler_subjects(linked_ds)
+    bulk = linked_ds.map_batches(
+        lambda b, _ref=ref, _s=suspects or None: EmitTriples(
+            _ref, skip_subjects=_s)(b),
+        batch_format="pyarrow", batch_size=None)
+    if not suspects:
+        return bulk
+    edge = linked_ds.map_batches(
+        lambda b, _ref=ref, _s=suspects: EmitTriples(
+            _ref, only_subjects=_s)(b),
+        batch_format="pyarrow", batch_size=None)
+    try:
+        edge_pdf = edge.to_pandas(limit=edge_driver_limit)
+    except ValueError:
+        fixed = (edge
+                 .map_batches(lambda b: _add_dedup_bucket(b, num_buckets),
+                              batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(_dedup_bucket, batch_format="pandas"))
+        return bulk.union(fixed)
+    fixed = rd.from_arrow(
+        pa.Table.from_pandas(_dedup_pdf(edge_pdf), schema=TRIPLE_SCHEMA,
+                             preserve_index=False))
+    return bulk.union(fixed)
 
 
 def add_partition_id(batch: pa.Table, num_partitions: int) -> pa.Table:

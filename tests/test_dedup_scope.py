@@ -20,3 +20,46 @@ def test_block_scope_equals_global(corpus_ready):
     b = (triples_dataset(linked, cmap, scope="block").to_pandas()[cols]
          .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
     pd.testing.assert_frame_equal(g, b)
+
+
+def _mention_table(rows):
+    import pyarrow as pa
+    cols = ["repo", "path", "commit", "content_sha256", "label",
+            "surface_norm", "entity_id"]
+    return pa.Table.from_pydict({c: [r[i] for r in rows]
+                                 for i, c in enumerate(cols)})
+
+
+def test_block_scope_survives_midfile_block_split():
+    """Dynamic block splitting can cut a file's mentions across two blocks
+    (ADVICE r1): block scope must still emit exactly one row per triple key,
+    with n_mentions summed across the split."""
+    import ray.data as rd
+
+    from knowledgeextraction_ray.stages.triples import triples_dataset
+
+    f1 = ("repoA", "a.py", "c1", "sha1")
+    f2 = ("repoA", "b.py", "c2", "sha2")
+    f3 = ("repoB", "c.py", "c3", "sha3")
+    # file f2 straddles the two blocks: same CALL utils triple on both sides
+    blk1 = _mention_table([
+        f1 + ("IMPORT", "utils", "e_utils"),
+        f1 + ("IMPORT", "utils", "e_utils"),
+        f2 + ("CALL", "utils", "e_utils"),
+    ])
+    blk2 = _mention_table([
+        f2 + ("CALL", "utils", "e_utils"),
+        f2 + ("FUNC", "run", "e_run"),
+        f3 + ("CLASS", "Cfg", "e_cfg"),
+    ])
+    linked = rd.from_arrow([blk1, blk2])
+    assert linked.num_blocks() == 2
+    cols = ["subj", "pred", "obj", "repo", "path", "commit",
+            "content_sha256", "n_mentions"]
+    out = (triples_dataset(linked, {}, scope="block").to_pandas()[cols]
+           .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
+    glob = (triples_dataset(linked, {}, scope="global").to_pandas()[cols]
+            .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, glob)
+    straddle = out[(out.subj == "repoA:b.py") & (out.pred == "calls")]
+    assert len(straddle) == 1 and straddle.n_mentions.iloc[0] == 2

@@ -127,10 +127,33 @@ def test_featurize_batch_shapes():
 
 
 def test_featurize_oov_is_unk():
-    from knowledgeextraction_ray.functions.featurize import UNK_ID
+    from knowledgeextraction_ray.functions.featurize import SEP_ID, UNK_ID
     ids, _ = featurize_text("中", 8)
-    # multibyte char degrades to UNK run (code corpus is ASCII)
-    assert ids[1] == UNK_ID
+    # one char -> exactly one UNK id (per code point, never per utf-8 byte)
+    assert ids[1] == UNK_ID and ids[2] == SEP_ID
+
+
+def test_featurize_non_ascii_char_alignment():
+    """ids index == char index for mixed CJK/ASCII text (upstream domain is
+    Chinese NER); byte-level tokenization would shift every position after a
+    multibyte char and crash on long CJK payloads."""
+    from knowledgeextraction_ray.functions.featurize import UNK_ID
+    text = "名a称b"
+    ids, mask = featurize_text(text, 16)
+    assert mask.sum() == len(text) + 2
+    assert ids[1] == UNK_ID          # 名
+    assert recover_text(ids)[1] == "a"
+    assert ids[3] == UNK_ID          # 称
+    assert recover_text(ids)[3] == "b"
+    # long CJK payload must truncate by chars, not overflow the buffer
+    long_cjk = "中" * 480
+    ids2, mask2 = featurize_text(long_cjk, 384)
+    assert mask2.sum() == 384
+    ids3, mask3, seq_len = featurize_batch([long_cjk, text], 384)
+    assert seq_len[0] == 382 and seq_len[1] == len(text)
+    # non-BMP (surrogate-pair in utf-16) still one position per code point
+    ids4, mask4 = featurize_text("a😀b", 8)
+    assert mask4.sum() == 5
 
 
 def test_sha256_and_partition_stability():
