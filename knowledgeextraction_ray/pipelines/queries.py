@@ -234,14 +234,11 @@ def q_doc_normalize(sf_dir: str):
 # --- rows-only (no SQL oracle; verified in pytest instead) -----------------
 
 def q_doc_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs, Jaccard-verified ≥ 0.7."""
-    import pyarrow.parquet as pq
-
+    """MinHash-LSH near-dup pairs, Jaccard-verified ≥ 0.7. The verify stage
+    only ever materializes CANDIDATE docs (semi-join filter), never the
+    corpus — see stages/dedup.minhash_dedup_pairs."""
     from ..stages.dedup import minhash_dedup_pairs
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]), dmap)
+    return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_doc_simhash(sf_dir: str):
@@ -511,14 +508,10 @@ ROWS_ONLY_QUERIES["ner_predictions"] = q_ner_predictions
 
 def q_doc_dedup_keep(sf_dir: str):
     """Near-dedup keep/drop decision per doc (LSH → verify → connected
-    components, min-id representative)."""
-    import pyarrow.parquet as pq
-
+    components, min-id representative). Per-doc assignment is a distributed
+    scan against a broadcast member→component map."""
     from ..stages.dedup import minhash_dedup_keep
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    dmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    return minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]), dmap)
+    return minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]))
 
 
 ROWS_ONLY_QUERIES["doc_dedup_keep"] = q_doc_dedup_keep

@@ -162,7 +162,8 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
 
 
 def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
-                           shingle_k: int = 5):
+                           shingle_k: int = 5,
+                           pair_driver_limit: int = 5_000_000):
     """documents → candidate near-dup pairs (doc_id_a < doc_id_b, deduped).
 
     explode to band rows → ``groupby(band_id, band_hash)`` → pairs within
@@ -212,10 +213,17 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
     # a pair can surface from several coarse groups → merge on the int key.
     # Pair-key rows scale with near-dup density, not corpus size, so the
     # driver merge (one np.unique) beats a distributed groupby's fixed
-    # shuffle cost by a wide margin; for extreme pair volumes use
-    # ``groupagg.bucketed_agg(pairs, ["pair_key"], ...)`` instead.
+    # shuffle cost by a wide margin — but it is size-GUARDED: past
+    # ``pair_driver_limit`` rows the merge falls back to the bucketed
+    # distributed aggregation (no unbounded driver materialization).
     import ray.data as rd
-    pdf = pairs.to_pandas()
+    try:
+        pdf = pairs.to_pandas(limit=pair_driver_limit)
+    except ValueError:
+        from .groupagg import bucketed_agg
+        merged = bucketed_agg(pairs, ["pair_key"],
+                              {"n_bands": ("n_bands", "sum")})
+        return merged.map_batches(_decode_pair_keys, batch_format="pyarrow")
     keys, inverse = np.unique(pdf["pair_key"].to_numpy(),
                               return_inverse=True)
     n_bands = np.zeros(len(keys), dtype=np.int64)
@@ -227,44 +235,61 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
     }))
 
 
+def _decode_pair_keys(batch: pa.Table) -> pa.Table:
+    keys = batch["pair_key"].to_numpy()
+    return pa.Table.from_pydict({
+        "doc_id_a": pa.array(keys >> 31, pa.int64()),
+        "doc_id_b": pa.array(keys & ((1 << 31) - 1), pa.int64()),
+        "n_bands": batch["n_bands"],
+    })
+
+
 def shingle_jaccard(a: str, b: str, k: int = 5) -> float:
-    sa = set(_shingle_hashes(a, k).tolist())
-    sb = set(_shingle_hashes(b, k).tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+    sa = _shingle_hashes(a, k)   # unique + sorted
+    sb = _shingle_hashes(b, k)
+    if len(sa) > len(sb):
+        sa, sb = sb, sa
+    inter = int(np.isin(sa, sb, assume_unique=True).sum())
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+def _sorted_intersection_size(sa: np.ndarray, sb: np.ndarray) -> int:
+    """|A ∩ B| for sorted unique arrays via one searchsorted (C-side)."""
+    if len(sa) > len(sb):
+        sa, sb = sb, sa
+    if len(sb) == 0:
+        return 0
+    pos = np.searchsorted(sb, sa)
+    valid = pos < len(sb)
+    return int((sb[pos[valid]] == sa[valid]).sum())
 
 
 class VerifyPairs:
     """Actor: verify candidate pairs with exact shingle Jaccard. Holds a
-    broadcast doc_id → text map (``ray.put`` once; at larger scale this
-    becomes a hash join of the pair list against the docs table)."""
+    broadcast doc_id → SORTED-shingle-array map of the CANDIDATE docs only
+    (``ray.put`` once, numpy arrays read zero-copy from plasma) — never the
+    whole corpus; its size is bounded by near-dup pair volume, the same
+    class as the output itself. Shingling happens ONCE per doc, distributed,
+    in the candidate-docs pass (see ``_candidate_shingles``) — per-actor
+    re-sketching of every doc was the dominant verify cost. Past
+    ``broadcast_limit`` the pipeline switches to the bucketed-join verify."""
 
     def __init__(self, docs_ref, shingle_k: int = 5):
         import ray
-        self.docs = ray.get(docs_ref) if not isinstance(docs_ref, dict) \
+        self.shingles = ray.get(docs_ref) if not isinstance(docs_ref, dict) \
             else docs_ref
         self.k = shingle_k
-        # shingle sets computed ONCE per doc per actor: candidate sets are
-        # often quadratic in bucket size while docs are few — recomputing
-        # shingles per pair was the dominant cost of the verify stage
-        self._sets: dict[int, frozenset] = {}
-
-    def _shingles(self, doc_id: int) -> frozenset:
-        s = self._sets.get(doc_id)
-        if s is None:
-            s = frozenset(_shingle_hashes(self.docs[doc_id], self.k).tolist())
-            self._sets[doc_id] = s
-        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["doc_id_a"].to_pylist()
         b = batch["doc_id_b"].to_pylist()
-        jac = []
-        for x, y in zip(a, b):
-            sa, sb = self._shingles(x), self._shingles(y)
-            union = len(sa | sb)
-            jac.append(len(sa & sb) / union if union else 1.0)
+        jac = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            sa, sb = self.shingles[x], self.shingles[y]
+            inter = _sorted_intersection_size(sa, sb)
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
         return batch.append_column("jaccard", pa.array(jac, pa.float64()))
 
 
@@ -307,23 +332,145 @@ def dedup_components(pairs_pdf, all_ids=None):
     return pd.DataFrame(rows, columns=["doc_id", "component_id", "keep"])
 
 
-def minhash_dedup_keep(ds, docs_map: dict, threshold: float = 0.7, **kw):
+def _candidate_shingles(ds, cands, broadcast_limit: int,
+                        shingle_k: int) -> dict:
+    """{doc_id: sorted shingle-hash array} for docs appearing in candidate
+    pairs ONLY.
+
+    ``broadcast_semi_join`` filters the corpus with a broadcast id set (a
+    scan, no shuffle) and the same scan computes each doc's sorted shingle
+    array — distributed, once per doc — so the only driver-materialized data
+    is bounded by pair volume. Raises ValueError past ``broadcast_limit``
+    rows (callers fall back to the join verify)."""
+    ids_pdf = (cands.select_columns(["doc_id_a", "doc_id_b"])
+               .to_pandas(limit=broadcast_limit))
+    idset = set(int(i) for i in ids_pdf["doc_id_a"]) | \
+        set(int(i) for i in ids_pdf["doc_id_b"])
+    from .joins import broadcast_semi_join
+    cand_docs = broadcast_semi_join(
+        ds.select_columns(["doc_id", "text"]), "doc_id", idset)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "shingles": pa.array(
+                [_shingle_hashes(t, shingle_k).astype(np.int64) for t in
+                 texts], pa.list_(pa.int64())),
+        })
+
+    pdf = cand_docs.map_batches(sketch, batch_format="pyarrow",
+                                batch_size=None).to_pandas(
+                                    limit=broadcast_limit)
+    return {int(i): np.asarray(s, dtype=np.uint64)
+            for i, s in zip(pdf["doc_id"], pdf["shingles"])}
+
+
+def _rename_docs(ds, suffix: str):
+    def rn(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            f"doc_id_{suffix}": batch["doc_id"],
+            f"text_{suffix}": batch["text"],
+        })
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        rn, batch_format="pyarrow")
+
+
+def _verify_via_join(cands, ds, shingle_k: int = 5, num_buckets: int = 32):
+    """Scale path: hash-join candidate pairs against the docs table on each
+    side (two bucketed joins — the pair list and only the matching doc rows
+    move), then per-row exact shingle Jaccard. No broadcast of any text."""
+    from .joins import bucketed_join
+    j1 = bucketed_join(cands, _rename_docs(ds, "a"), on="doc_id_a",
+                       num_buckets=num_buckets)
+    j2 = bucketed_join(j1, _rename_docs(ds, "b"), on="doc_id_b",
+                       num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        jac = [shingle_jaccard(x, y, shingle_k) for x, y in zip(ta, tb)]
+        return pa.Table.from_pydict({
+            "doc_id_a": batch["doc_id_a"],
+            "doc_id_b": batch["doc_id_b"],
+            "n_bands": batch["n_bands"],
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_dedup_keep(ds, threshold: float = 0.7, **kw):
     """End-to-end near-dedup: LSH candidates → verify → components →
-    per-doc keep/drop table (min-id representative per duplicate cluster)."""
-    pairs = minhash_dedup_pairs(ds, docs_map, threshold, **kw).to_pandas()
-    return dedup_components(pairs, all_ids=list(docs_map.keys()))
+    per-doc keep/drop Dataset (min-id representative per duplicate cluster).
+
+    Union-find runs on the driver over pair MEMBERS only (bounded by
+    near-dup density); the per-doc keep table is then produced distributed —
+    a broadcast member→component map applied in one ``map_batches`` scan, so
+    the full corpus id list never lands on the driver."""
+    import ray
+    import ray.data as rd
+    pairs = minhash_dedup_pairs(ds, threshold=threshold, **kw).to_pandas()
+    comp = dedup_components(pairs)
+    ref = ray.put(dict(zip(comp["doc_id"].astype(int),
+                           comp["component_id"].astype(int))))
+
+    def assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        cmap = _cached_component_map(_ref)
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        comps = [cmap.get(i, i) for i in ids]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "component_id": pa.array(comps, pa.int64()),
+            "keep": pa.array([c == i for c, i in zip(comps, ids)],
+                             pa.bool_()),
+        })
+    return ds.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pyarrow")
 
 
-def minhash_dedup_pairs(ds, docs_map: dict, threshold: float = 0.7, **kw):
-    """Full MinHash-LSH near-dup: candidates → exact-verify → threshold."""
+_COMPONENT_CACHE: dict[str, dict] = {}
+
+
+def _cached_component_map(ref) -> dict:
+    if isinstance(ref, dict):
+        return ref
+    key = ref.hex()
+    m = _COMPONENT_CACHE.get(key)
+    if m is None:
+        import ray
+        m = _COMPONENT_CACHE.setdefault(key, ray.get(ref))
+    return m
+
+
+def minhash_dedup_pairs(ds, threshold: float = 0.7, mode: str = "auto",
+                        broadcast_limit: int = 500_000, **kw):
+    """Full MinHash-LSH near-dup: candidates → exact-verify → threshold.
+
+    ``mode``: "auto" verifies via a candidate-bounded broadcast (fast: the
+    shingle sets are cached per actor) and falls back to the bucketed-join
+    verify when candidates exceed ``broadcast_limit``; "join" forces the
+    join path; "broadcast" forces the broadcast path (raises past the
+    limit)."""
     import pyarrow.compute as pc
     import ray
-    ref = ray.put(docs_map)
+    shingle_k = kw.get("shingle_k", 5)
     cands = minhash_lsh_candidates(ds, **kw)
-    from ..runtime import pool_size
-    verified = cands.map_batches(
-        VerifyPairs, fn_constructor_kwargs={"docs_ref": ref},
-        batch_format="pyarrow", concurrency=(1, pool_size(0.5)))
+    if mode == "join":
+        verified = _verify_via_join(cands, ds, shingle_k)
+    else:
+        try:
+            docs = _candidate_shingles(ds, cands, broadcast_limit, shingle_k)
+            ref = ray.put(docs)
+            from ..runtime import pool_size
+            verified = cands.map_batches(
+                VerifyPairs,
+                fn_constructor_kwargs={"docs_ref": ref,
+                                       "shingle_k": shingle_k},
+                batch_format="pyarrow", concurrency=(1, pool_size(0.5)))
+        except ValueError:
+            if mode == "broadcast":
+                raise
+            verified = _verify_via_join(cands, ds, shingle_k)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow")

@@ -37,12 +37,29 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32,
 
     Scales: each side is hashed on the key once; a bucket holds ~1/B of each
     side and the in-bucket merge is a vectorized pandas hash join."""
+    def _pa_types(ds) -> dict:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        # pandas-block schema: types are numpy dtypes (or object → string)
+        out = {}
+        for n, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                out[n] = t
+            else:
+                try:
+                    out[n] = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    out[n] = pa.string()
+        return out
+
     l_cols = [n for n in left.schema().names]
     r_cols = [n for n in right.schema().names]
     l_only = [c for c in l_cols if c != on and c not in r_cols]
     r_only = [c for c in r_cols if c != on and c not in l_cols]
-    l_schema = {f.name: f.type for f in left.schema().base_schema}
-    r_schema = {f.name: f.type for f in right.schema().base_schema}
+    l_schema = _pa_types(left)
+    r_schema = _pa_types(right)
 
     def tag(side: str, pad_cols, pad_types, order):
         def fn(batch: pa.Table) -> pa.Table:
@@ -88,22 +105,33 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32,
                                                   batch_format="pandas")
 
 
+_KEYSET_CACHE: dict[str, pa.Array] = {}
+
+
+def _cached_value_set(ref) -> pa.Array:
+    key = ref.hex()
+    vs = _KEYSET_CACHE.get(key)
+    if vs is None:
+        import ray
+        vs = _KEYSET_CACHE.setdefault(key, pa.array(sorted(ray.get(ref))))
+    return vs
+
+
 def broadcast_semi_join(ds, key_col: str, keys_ref, anti: bool = False):
-    """Filter ``ds`` to rows whose key is (not) in the broadcast key set."""
+    """Filter ``ds`` to rows whose key is (not) in the broadcast key set.
+
+    Stateless tasks (no actor-pool ramp — the filter is pure C-side
+    ``pc.is_in``); the key set ships once via ``ray.put`` and deserializes
+    once per worker process through a module cache."""
     import ray
 
-    class Filt:
-        def __init__(self, ref):
-            keys = ray.get(ref) if not isinstance(ref, (set, list)) else ref
-            self.value_set = pa.array(sorted(keys))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[key_col], value_set=self.value_set)
-            if anti:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
     ref = keys_ref if isinstance(keys_ref, ray.ObjectRef) \
-        else ray.put(keys_ref)
-    return ds.map_batches(Filt, fn_constructor_kwargs={"ref": ref},
-                          batch_format="pyarrow", concurrency=(1, 4))
+        else ray.put(sorted(keys_ref))
+
+    def filt(batch: pa.Table, _ref=ref) -> pa.Table:
+        mask = pc.is_in(batch[key_col], value_set=_cached_value_set(_ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)

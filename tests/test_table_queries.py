@@ -49,8 +49,7 @@ def test_exact_dedup_planted():
 def test_minhash_lsh_finds_planted_neardups():
     from knowledgeextraction_ray.stages.dedup import minhash_dedup_pairs
     rows = _docs_with_dupes()
-    dmap = {r["doc_id"]: r["text"] for r in rows}
-    pairs = minhash_dedup_pairs(rd.from_items(rows), dmap,
+    pairs = minhash_dedup_pairs(rd.from_items(rows),
                                 threshold=0.7).to_pandas()
     got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
     assert (0, 100) in got                 # exact dup pair found
@@ -60,6 +59,22 @@ def test_minhash_lsh_finds_planted_neardups():
     # verified jaccard of an exact pair is 1.0
     exact = pairs[(pairs["doc_id_a"] == 0) & (pairs["doc_id_b"] == 100)]
     assert float(exact["jaccard"].iloc[0]) == 1.0
+
+
+def test_minhash_join_verify_equals_broadcast_verify():
+    """The scale path (bucketed-join verify, no text broadcast at all) must
+    produce the identical verified pair set."""
+    from knowledgeextraction_ray.stages.dedup import minhash_dedup_pairs
+    rows = _docs_with_dupes()
+    cols = ["doc_id_a", "doc_id_b", "n_bands", "jaccard"]
+    bc = (minhash_dedup_pairs(rd.from_items(rows), threshold=0.7,
+                              mode="broadcast").to_pandas()[cols]
+          .sort_values(cols[:2]).reset_index(drop=True))
+    jn = (minhash_dedup_pairs(rd.from_items(rows), threshold=0.7,
+                              mode="join").to_pandas()[cols]
+          .sort_values(cols[:2]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(bc, jn)
 
 
 def test_minhash_estimates_jaccard():
@@ -170,8 +185,7 @@ def test_dedup_components_planted():
 def test_minhash_dedup_keep_planted():
     from knowledgeextraction_ray.stages.dedup import minhash_dedup_keep
     rows = _docs_with_dupes()
-    dmap = {r["doc_id"]: r["text"] for r in rows}
-    out = minhash_dedup_keep(rd.from_items(rows), dmap, threshold=0.7)
+    out = minhash_dedup_keep(rd.from_items(rows), threshold=0.7).to_pandas()
     by_id = out.set_index("doc_id")
     # planted dupes land in the same component as their source (the tiny
     # shared vocab means unrelated docs may also cluster — assertions are
