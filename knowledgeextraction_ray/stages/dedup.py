@@ -163,7 +163,8 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
 
 def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
                            shingle_k: int = 5,
-                           pair_driver_limit: int = 5_000_000):
+                           pair_driver_limit: int = 5_000_000,
+                           max_bucket: int = 1000):
     """documents → candidate near-dup pairs (doc_id_a < doc_id_b, deduped).
 
     explode to band rows → ``groupby(band_id, band_hash)`` → pairs within
@@ -183,7 +184,11 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
     # pairs via triu indices and pre-dedups them — NO Python pair loops
     # (word-salad-ish corpora produce mega-buckets whose quadratic pair
     # sets must be emitted at C speed or not at all).
-    max_bucket = 1000   # degenerate buckets (near-identical corpus slices)
+    # degenerate buckets (near-identical corpus slices): past max_bucket the
+    # quadratic pair set is replaced by STAR pairs to the bucket's min doc_id
+    # — linear, preserves connected components for keep/drop, and nothing is
+    # silently dropped (round-1 ADVICE: skipping densest buckets zeroed out
+    # exactly the clusters near-dedup targets).
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         coarse = (batch["band_hash"].to_numpy() % 256).astype(np.int32)
@@ -193,9 +198,13 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
         chunks = []
         for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
             n = len(sub)
-            if n < 2 or n > max_bucket:
+            if n < 2:
                 continue
             ids = np.sort(sub["doc_id"].to_numpy())
+            if n > max_bucket:
+                chunks.append(np.int64(ids[0]) * (1 << 31)
+                              + ids[1:].astype(np.int64))
+                continue
             i, j = np.triu_indices(n, k=1)
             # encode the pair as one int64 (doc ids are < 2^31 here)
             chunks.append(ids[i].astype(np.int64) * (1 << 31) + ids[j])
@@ -482,44 +491,90 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, mode: str = "auto",
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes (per-batch vectorized)."""
+    """64-bit SimHash over token hashes — fully batch-vectorized.
+
+    Every token byte in a batch is hashed in one set of numpy kernels (a
+    polynomial fold over the concatenated byte buffer via ``reduceat``,
+    finished with a splitmix64-style avalanche), and per-doc bit votes are
+    one ``reduceat`` over the token-bit matrix. No per-token / per-byte /
+    per-bit Python loops (round 1 flagged the per-byte FNV scalar loop as a
+    100×-class slowdown at corpus scale)."""
 
     def __init__(self, seed: int = 11):
         import re
         self.token_re = re.compile(r"[A-Za-z0-9_]+")
         rs = np.random.RandomState(seed)
         self.salt = np.uint64(rs.randint(1, 1 << 61))
+        self._powers = np.ones(1, dtype=np.uint64)   # grown on demand
+
+    def _base_powers(self, n: int) -> np.ndarray:
+        if len(self._powers) < n:
+            old = len(self._powers)
+            grown = np.empty(n, dtype=np.uint64)
+            grown[:old] = self._powers
+            base = np.uint64(1_000_003)
+            with np.errstate(over="ignore"):
+                for i in range(old, n):           # ≤ max token length, once
+                    grown[i] = grown[i - 1] * base
+            self._powers = grown
+        return self._powers
+
+    def _token_hashes(self, tokens: list[bytes]) -> np.ndarray:
+        """h(tok) = Σ byte_i · base^(L-1-i) mod 2^64, avalanched — computed
+        for ALL tokens at once over one concatenated buffer."""
+        data = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+        lengths = np.array([len(t) for t in tokens], dtype=np.int64)
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        powers = self._base_powers(int(lengths.max()) + 1)
+        with np.errstate(over="ignore"):          # mod-2^64 by design
+            pos = np.repeat(ends, lengths) - 1 - \
+                np.arange(len(data), dtype=np.int64)
+            terms = data.astype(np.uint64) * powers[pos]
+            h = np.add.reduceat(terms, starts)
+            h ^= h >> np.uint64(30)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(27)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+        return h ^ self.salt
+
+    def _simhash_docs(self, texts: list[str]) -> np.ndarray:
+        tok_bytes: list[bytes] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for d, t in enumerate(texts):
+            toks = self.token_re.findall(t)
+            counts[d] = len(toks)
+            tok_bytes.extend(tk.encode("utf-8") for tk in toks)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if tok_bytes:
+            hs = self._token_hashes(tok_bytes)
+            # bit matrix laid out (64, T): transpose the 8-byte view first
+            # (a small memcpy) so both the unpack and the per-doc segment
+            # sums run along the contiguous axis. Measured on this numpy:
+            # broadcast uint64 shifts ~200× slower, axis-0 cumsum/astype
+            # variants ~25× slower than this unpackbits+reduceat shape.
+            byteT = np.ascontiguousarray(hs.view(np.uint8).reshape(-1, 8).T)
+            bitsT = np.unpackbits(byteT, axis=0, bitorder="little")  # 64×T
+            doc_starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=doc_starts[1:])
+            nz = counts > 0                       # empty docs hash to 0
+            votes = np.add.reduceat(bitsT, doc_starts[nz], axis=1,
+                                    dtype=np.int64)          # (64, Dnz)
+            sign = 2 * votes - counts[nz][None, :]
+            packed = np.packbits(sign > 0, axis=0, bitorder="little")
+            out[nz] = np.ascontiguousarray(packed.T).view(np.uint64).ravel()
+        return out.astype(np.int64)               # two's complement view
 
     def simhash(self, text: str) -> int:
-        toks = self.token_re.findall(text)
-        if not toks:
-            return 0
-        hs = np.array([hash_token(t, self.salt) for t in toks],
-                      dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(hs)
-        out = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out.astype(np.int64))  # two's complement into int64
+        return int(self._simhash_docs([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         return pa.Table.from_pydict({
             "doc_id": batch["doc_id"],
-            "simhash": pa.array([self.simhash(t) for t in texts],
-                                pa.int64()),
+            "simhash": pa.array(self._simhash_docs(texts), pa.int64()),
         })
-
-
-def hash_token(tok: str, salt: np.uint64) -> np.uint64:
-    h = np.uint64(14695981039346656037)          # FNV-1a 64
-    with np.errstate(over="ignore"):             # mod-2^64 is the FNV spec
-        for byte in tok.encode("utf-8"):
-            h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
-    return h ^ salt
 
 
 def simhash_dataset(ds):

@@ -101,6 +101,37 @@ def test_simhash_properties():
     assert ham > 10
 
 
+def test_simhash_batch_equals_scalar_and_empty():
+    """The batch-vectorized path must agree with per-doc hashing, and docs
+    with no tokens hash to 0."""
+    from knowledgeextraction_ray.stages.dedup import SimHasher
+    sh = SimHasher()
+    texts = ["alpha beta gamma", "", "   !!! ",
+             "one small change in a long shared document body " * 4,
+             "zeta eta theta iota kappa"]
+    batch_out = sh._simhash_docs(texts)
+    assert list(batch_out) == [sh.simhash(t) for t in texts]
+    assert batch_out[1] == 0 and batch_out[2] == 0
+
+
+def test_minhash_megabucket_star_pairs():
+    """Buckets larger than max_bucket emit star pairs to the min doc_id
+    (linear), so dense duplicate clusters still form one component instead
+    of being silently skipped."""
+    from knowledgeextraction_ray.stages.dedup import minhash_dedup_keep
+    base = "the exact same document body repeated verbatim " * 6
+    rows = [{"doc_id": i, "text": base} for i in range(8)]
+    rows += [{"doc_id": 50 + i,
+              "text": f"unrelated text number {i} with its own words"}
+             for i in range(4)]
+    out = minhash_dedup_keep(rd.from_items(rows), threshold=0.7,
+                             max_bucket=3).to_pandas().set_index("doc_id")
+    dup_ids = list(range(8))
+    assert all(out.loc[i, "component_id"] == 0 for i in dup_ids)
+    assert out.loc[0, "keep"] and not any(out.loc[i, "keep"]
+                                          for i in dup_ids[1:])
+
+
 def test_embedding_neardup_planted():
     from knowledgeextraction_ray.stages.dedup import embedding_neardup_pairs
     rs = np.random.RandomState(9)
