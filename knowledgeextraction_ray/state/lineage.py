@@ -136,6 +136,37 @@ def write_partitioned_triples(triples_ds, out_dir: str,
     return [os.path.join(tdir, f) for f in sorted(os.listdir(tdir))]
 
 
+def _invalidate_stale_waves(out_dir: str, waves: list[list[str]],
+                            cfg: PipelineConfig) -> list[int]:
+    """Resume is valid only if a landed partition still matches TODAY's run
+    plan: same wave assignment (input files, order-sensitive — assignments
+    are deterministic slices of the sorted file list) and same pipeline
+    config. Anything else — num_waves changed, corpus changed, config
+    changed, or a partition beyond the current wave count — is removed and
+    recomputed rather than silently combined with fresh waves (round-1
+    ADVICE: existence-only resume merged stale checkpoints)."""
+    mdir = os.path.join(out_dir, "mentions")
+    stale: list[int] = []
+    if not os.path.isdir(mdir):
+        return stale
+    cfg_json = json.loads(cfg.to_json())
+    for name in sorted(os.listdir(mdir)):
+        if not name.startswith("part-"):
+            continue
+        w = int(name.split("-")[1])
+        mpath = os.path.join(mdir, name, "manifest.json")
+        ok = False
+        if w < len(waves) and os.path.exists(mpath):
+            with open(mpath) as f:
+                man = json.load(f)
+            ok = (man.get("input_files") == waves[w]
+                  and man.get("config") == cfg_json)
+        if not ok:
+            shutil.rmtree(os.path.join(mdir, name))
+            stale.append(w)
+    return stale
+
+
 def run_resumable_kg(sf_dir: str, out_dir: str,
                      cfg: PipelineConfig | None = None, num_waves: int = 4,
                      stop_after_waves: int | None = None) -> dict:
@@ -155,8 +186,10 @@ def run_resumable_kg(sf_dir: str, out_dir: str,
     input_files = [os.path.join(src, f) for f in os.listdir(src)
                    if f.endswith(".parquet")]
     waves = wave_assignments(input_files, num_waves)
+    stale = _invalidate_stale_waves(out_dir, waves, cfg)
     done = completed_waves(out_dir, num_waves)
-    report = {"skipped_waves": sorted(done), "ran_waves": []}
+    report = {"skipped_waves": sorted(done), "ran_waves": [],
+              "invalidated_waves": stale}
     ran = 0
     for w, files in enumerate(waves):
         if w in done or not files:

@@ -22,6 +22,37 @@ def test_block_scope_equals_global(corpus_ready):
     pd.testing.assert_frame_equal(g, b)
 
 
+def test_joined_obj_resolution_equals_broadcast(corpus_ready):
+    """The surface_norm hash-join obj resolution (scale path, no broadcast
+    vocab) must produce the identical triple set to the broadcast-map path,
+    and the distributed canonicalize combine must equal the driver combine."""
+    from knowledgeextraction_ray.pipelines.kg import (canonical_map_of,
+                                                      linked_mentions)
+    from knowledgeextraction_ray.stages.canonicalize import (
+        canonicalize_dataset)
+    from knowledgeextraction_ray.stages.triples import (
+        triples_dataset, triples_dataset_joined)
+
+    linked = linked_mentions(corpus_ready).materialize()
+    ccols = ["surface_norm", "entity_id", "prior", "n_mentions"]
+    cd = (canonicalize_dataset(linked, combine="driver").to_pandas()[ccols]
+          .sort_values("surface_norm").reset_index(drop=True))
+    cx = (canonicalize_dataset(linked, combine="distributed")
+          .to_pandas()[ccols].sort_values("surface_norm")
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(cd, cx)
+
+    canon = canonicalize_dataset(linked)
+    cmap = canonical_map_of(canon)
+    cols = ["subj", "pred", "obj", "repo", "path", "commit",
+            "content_sha256", "n_mentions"]
+    bc = (triples_dataset(linked, cmap, scope="global").to_pandas()[cols]
+          .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
+    jn = (triples_dataset_joined(linked, canon).to_pandas()[cols]
+          .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, jn)
+
+
 def _mention_table(rows):
     import pyarrow as pa
     cols = ["repo", "path", "commit", "content_sha256", "label",

@@ -41,6 +41,41 @@ def test_kill_resume_byte_identical(corpus_ready, out_dirs):
     assert _file_bytes(dir_a) == _file_bytes(dir_b)
 
 
+def test_resume_invalidates_stale_waves(corpus_ready, out_dirs):
+    """Changing num_waves (or config / corpus) between runs must NOT
+    silently combine stale checkpoints with fresh waves: mismatched
+    partitions are removed and recomputed, and the final output equals a
+    clean run at the new wave count."""
+    from knowledgeextraction_ray.state.lineage import run_resumable_kg
+    dir_a, dir_b = out_dirs
+    run_resumable_kg(corpus_ready, dir_a, num_waves=2)
+    # run b first at 3 waves, then "re-plan" at 2 — every wave's file
+    # assignment changes, so all three landed partitions are stale
+    run_resumable_kg(corpus_ready, dir_b, num_waves=3)
+    rep = run_resumable_kg(corpus_ready, dir_b, num_waves=2)
+    assert rep["invalidated_waves"] == [0, 1, 2]
+    assert rep["skipped_waves"] == []
+    assert rep["ran_waves"] == [0, 1]
+    assert _file_bytes(dir_a) == _file_bytes(dir_b)
+
+
+def test_flagship_degrades_to_wave_path(corpus_ready, tmp_path):
+    """kg_pipeline above max_inmemory_bytes must route through the wave
+    checkpoints (no full-mention materialize) and produce the same triples
+    as the in-memory plan."""
+    import pandas as pd
+
+    from knowledgeextraction_ray.pipelines.kg import kg_pipeline
+    cols = ["subj", "pred", "obj", "n_mentions"]
+    mem = (kg_pipeline(corpus_ready).to_pandas()[cols]
+           .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
+    wave = (kg_pipeline(corpus_ready, max_inmemory_bytes=1,
+                        wave_out_dir=str(tmp_path / "wv"))
+            .to_pandas()[cols]
+            .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(mem, wave)
+
+
 def test_manifest_contents(corpus_ready, tmp_path):
     from knowledgeextraction_ray.state.lineage import run_resumable_kg
     out = str(tmp_path / "run")
