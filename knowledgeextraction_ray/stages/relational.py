@@ -6,7 +6,8 @@ schema inputs, with exact-value SQL oracles:
 
 - pruned reads (``columns=``),
 - filter pushed into a vectorized ``map_batches`` mask,
-- float sums as scaled int64 (hash-exact, order-independent),
+- float sums as scaled int64, half-away rounding matching DuckDB
+  ``round()`` (hash-exact, order-independent),
 - small dimension side broadcast into the fact scan (no shuffle join).
 """
 
@@ -18,6 +19,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
+
+from ..functions.rounding import scaled_int64
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -33,13 +36,9 @@ def q1_pricing_summary(sf_dir: str):
         mask = pc.less_equal(batch["l_shipdate"],
                              pa.scalar("1998-09-02").cast(pa.timestamp("us")))
         batch = batch.filter(mask)
-        qty_e2 = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0)),
-                         pa.int64())
-        price_e2 = pc.cast(
-            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)),
-            pa.int64())
-        disc_e4 = pc.cast(pc.round(pc.multiply(batch["l_discount"], 10_000.0)),
-                          pa.int64())
+        qty_e2 = scaled_int64(batch["l_quantity"], 100.0)
+        price_e2 = scaled_int64(batch["l_extendedprice"], 100.0)
+        disc_e4 = scaled_int64(batch["l_discount"], 10_000.0)
         return pa.Table.from_pydict({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
@@ -65,8 +64,7 @@ class JoinCustomerNation:
     def __call__(self, batch: pa.Table) -> pa.Table:
         nations = [self.cust_to_nation.get(c, "UNKNOWN")
                    for c in batch["o_custkey"].to_pylist()]
-        total_e2 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
-                           pa.int64())
+        total_e2 = scaled_int64(batch["o_totalprice"], 100.0)
         return pa.Table.from_pydict({
             "n_name": pa.array(nations, pa.string()),
             "total_e2": total_e2,
@@ -142,9 +140,7 @@ def part_type_stats(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
             "p_type": batch["p_type"],
-            "price_e2": pc.cast(
-                pc.round(pc.multiply(batch["p_retailprice"], 100.0)),
-                pa.int64()),
+            "price_e2": scaled_int64(batch["p_retailprice"], 100.0),
         })
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("p_type")

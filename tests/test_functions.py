@@ -209,3 +209,23 @@ def test_spans_from_tag_ids_matches_string_path():
         got = [(_TYPE_NAME[ti], s, e)
                for (ti, s, e) in spans_from_tag_ids(ids)]
         assert got == want, (labels, got, want)
+
+
+def test_scaled_int64_half_away_from_zero_matches_duckdb():
+    """DuckDB round() is half away from zero; Arrow/numpy default to
+    half-to-even — the helpers must pin the DuckDB mode (ADVICE r1)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledgeextraction_ray.functions.rounding import (scaled_int64,
+                                                            scaled_int64_np)
+    vals = [0.00005, 0.00015, 0.00025, -0.00005, -0.00025, 1.5, 2.5, -2.5,
+            0.125, -0.375]
+    got_pa = scaled_int64(pa.array(vals, pa.float64()), 10_000.0).to_pylist()
+    got_np = scaled_int64_np(np.array(vals), 10_000.0).tolist()
+    want = [r[0] for r in duckdb.sql(
+        "select cast(round(v * 10000) as bigint) from (select unnest($v) v)",
+        params={"v": vals}).fetchall()]
+    assert got_pa == want
+    assert got_np == want
