@@ -129,6 +129,63 @@ from triples group by 1, 2
 """
 
 
+def sql_nre_bags(sf_dir: str) -> str:
+    """Bag-level relation aggregate (reference BagAttention analog): pair a
+    call with the nearest preceding def in the file (window last_value over
+    lines), md5-derived instance score, per-(head, tail) bag counts + summed
+    scaled-int scores + score-weighted mean."""
+    corpus = corpus_glob(sf_dir)
+    return f"""
+with ls as (
+  select repo, path, string_split(content, chr(10)) as lines
+  from read_parquet('{corpus}')
+),
+lined as (
+  select repo, path, unnest(lines) as line,
+         unnest(range(1, len(lines) + 1)) as line_no
+  from ls
+),
+tagged as (
+  select repo, path, line_no,
+         nullif(regexp_extract(line,
+                'def ([A-Za-z_][A-Za-z0-9_]*)\\(', 1), '') as def_name,
+         nullif(regexp_extract(line,
+                '= ([A-Za-z_][A-Za-z0-9_]*)\\(', 1), '') as call_name
+  from lined
+),
+with_head as (
+  select repo, path, line_no, call_name,
+         last_value(def_name ignore nulls) over (
+           partition by repo, path order by line_no
+           rows between unbounded preceding and current row) as head_name
+  from tagged
+),
+pairs as (
+  select repo, path, head_name as head_surface, call_name as tail_surface,
+         row_number() over (
+           partition by repo, path, head_name, call_name
+           order by line_no) as ordinal
+  from with_head
+  where call_name is not null and head_name is not null
+),
+scored as (
+  select head_surface, tail_surface, repo || ':' || path as subj,
+         5000 + (('0x' || substr(md5(repo || '|' || path || '|' ||
+                  head_surface || '|' || tail_surface || '|' || ordinal),
+                  1, 8))::bigint % 5000) as score_e4
+  from pairs
+)
+select head_surface, tail_surface, 'calls' as relation,
+       count(*) as n_instances,
+       count(distinct subj) as n_files,
+       cast(sum(score_e4) as bigint) as sum_score_e4,
+       round(cast(sum(score_e4 * score_e4) as bigint)
+             / cast(sum(score_e4) as bigint) / 10000.0, 6) as bag_score
+from scored
+group by 1, 2
+"""
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
@@ -138,4 +195,5 @@ KG_ORACLES = {
     "kg_triples_by_repo": sql_triples_by_repo,
     # the resumable/checkpointed path must produce the identical triple set
     "kg_triples_resumable": sql_triples,
+    "nre_bags": sql_nre_bags,
 }

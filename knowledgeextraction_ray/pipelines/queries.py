@@ -82,12 +82,26 @@ def q_triples(sf_dir: str):
     return kg_pipeline(sf_dir)
 
 
+def q_nre_bags(sf_dir: str):
+    """Bag-level relation aggregate (BagAttention analog) over file-scope
+    pair instances — SQL-gated, window-function oracle."""
+    import ray.data as rd
+
+    from ..corpus import corpus_parquet_dir, ensure_corpus
+    from ..stages.nre import nre_bag_pipeline
+    ensure_corpus(sf_dir)
+    corpus = rd.read_parquet(corpus_parquet_dir(sf_dir),
+                             columns=["repo", "path", "content"])
+    return nre_bag_pipeline(corpus)
+
+
 KG_QUERIES = {
     "kg_corpus_sha": q_corpus_sha,
     "kg_mentions": q_mentions,
     "kg_label_hist": q_label_hist,
     "kg_canonical": q_canonical,
     "kg_triples": q_triples,
+    "nre_bags": q_nre_bags,
 }
 
 

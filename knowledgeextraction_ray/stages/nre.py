@@ -21,8 +21,11 @@ Here:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.bio import bio_to_spans
 from ..functions.featurize import CHAR2ID, PAD_ID, UNK_ID, VOCAB_SIZE
@@ -140,3 +143,95 @@ def nre_pipeline(scored_segments):
     from ..runtime import pool_size
     return pairs.map_batches(NreScorer, batch_format="pyarrow",
                              concurrency=(1, pool_size(0.5)))
+
+
+# ---------------------------------------------------------------------------
+# bag-level aggregation (reference BagAttention, nremodels/models.py:40-81)
+# ---------------------------------------------------------------------------
+
+# one scan, matches in document order: group 1 = a def (new head),
+# group 2 = a call paired with the current head
+_PAIR_SCAN_RE = re.compile(
+    r"def ([A-Za-z_][A-Za-z0-9_]*)\(|= ([A-Za-z_][A-Za-z0-9_]*)\(")
+
+
+def file_pair_scores(batch: pa.Table) -> pa.Table:
+    """corpus batch → FILE-scope (head, tail) pair instances with a
+    deterministic stand-in instance score.
+
+    The reference's bag model scores every sentence INSTANCE of an entity
+    pair, then aggregates per bag; here the instance score is md5-derived
+    from the instance identity (file, pair, within-file ordinal) so the
+    whole bag pipeline is exactly reproducible by the DuckDB oracle — the
+    drop-in point for a real per-instance encoder score. Pairing is the
+    nearest preceding ``def`` in the file (one compiled-regex scan)."""
+    import hashlib
+    out_r, out_p, out_h, out_t, out_e4 = [], [], [], [], []
+    for repo, path, content in zip(batch["repo"].to_pylist(),
+                                   batch["path"].to_pylist(),
+                                   batch["content"].to_pylist()):
+        head = None
+        ordinals: dict[tuple, int] = {}
+        for m in _PAIR_SCAN_RE.finditer(content):
+            d = m.group(1)
+            if d is not None:
+                head = d
+                continue
+            if head is None:
+                continue
+            tail = m.group(2)
+            k = (head, tail)
+            n = ordinals.get(k, 0) + 1
+            ordinals[k] = n
+            key = f"{repo}|{path}|{head}|{tail}|{n}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+            out_r.append(repo)
+            out_p.append(path)
+            out_h.append(head)
+            out_t.append(tail)
+            out_e4.append(5000 + h % 5000)       # score in [0.5, 1.0), e4
+    subj = [f"{r}:{p}" for r, p in zip(out_r, out_p)]
+    e4 = np.array(out_e4, dtype=np.int64)
+    return pa.Table.from_pydict({
+        "head_surface": pa.array(out_h, pa.string()),
+        "tail_surface": pa.array(out_t, pa.string()),
+        "subj": pa.array(subj, pa.string()),
+        "score_e4": pa.array(e4, pa.int64()),
+        "score_sq_e8": pa.array(e4 * e4, pa.int64()),
+    })
+
+
+def nre_bag_pipeline(corpus_ds, num_buckets: int = 64):
+    """corpus → per-(head, tail) BAG table: instance/file counts, summed
+    scaled-int instance scores, and the attention-weighted analog bag score
+    (score-weighted mean of instance scores, the stand-in for the
+    reference's attention-softmax over instance logits,
+    ``nremodels/models.py:40-81``).
+
+    The bag groupby is the distributed aggregate the reference's in-process
+    BagAttention becomes at corpus scale: per-batch instance extraction (no
+    shuffle) → one bucketed exchange on the (head, tail) bag key."""
+    from .groupagg import bucketed_agg
+    pairs = corpus_ds.map_batches(file_pair_scores, batch_format="pyarrow",
+                                  batch_size=None)
+    agg = bucketed_agg(pairs, ["head_surface", "tail_surface"],
+                       {"n_files": ("subj", "nunique"),
+                        "sum_score_e4": ("score_e4", "sum"),
+                        "sum_score_sq_e8": ("score_sq_e8", "sum")},
+                       num_buckets=num_buckets, count_alias="n_instances")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s1 = batch["sum_score_e4"].to_numpy().astype(np.float64)
+        s2 = batch["sum_score_sq_e8"].to_numpy().astype(np.float64)
+        # half-away 6dp round, matching DuckDB round() (scores positive)
+        bag = np.floor(s2 / s1 / 1e4 * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict({
+            "head_surface": batch["head_surface"],
+            "tail_surface": batch["tail_surface"],
+            "relation": pa.array(["calls"] * len(batch), pa.string()),
+            "n_instances": pc.cast(batch["n_instances"], pa.int64()),
+            "n_files": pc.cast(batch["n_files"], pa.int64()),
+            "sum_score_e4": batch["sum_score_e4"],
+            "bag_score": pa.array(bag, pa.float64()),
+        })
+    return agg.map_batches(finalize, batch_format="pyarrow")

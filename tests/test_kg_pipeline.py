@@ -102,3 +102,43 @@ def test_canonical_hot_alias_resolution(corpus_ready):
     row = pdf[pdf["surface_norm"] == "main"]
     assert len(row) == 1
     assert row.iloc[0]["entity_id"] == "ent::main"
+
+
+def test_nre_bag_grouping_planted():
+    """Bag aggregation (BagAttention analog): instances group by
+    (head, tail) across files; ordinals are per (file, pair); the bag score
+    is the score-weighted mean of instance scores."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgeextraction_ray.stages.nre import nre_bag_pipeline
+
+    f1 = "def f(a):\n    v0 = g(a)\n    v1 = g(a)\n    v2 = h(a)"
+    f2 = "def f(b):\n    v0 = g(b)\ndef k(b):\n    v0 = g(b)"
+    f3 = "    v9 = orphan(x)\ndef m(c):\n    v0 = g(c)"
+    corpus = rd.from_arrow(pa.Table.from_pydict({
+        "repo": ["r1", "r2", "r3"],
+        "path": ["a.py", "b.py", "c.py"],
+        "content": [f1, f2, f3],
+    }))
+    out = nre_bag_pipeline(corpus).to_pandas().set_index(
+        ["head_surface", "tail_surface"]).sort_index()
+    # (f, g): 2 instances in r1 (ordinals 1, 2) + 1 in r2 (ordinal 1)
+    fg = out.loc[("f", "g")]
+    assert fg["n_instances"] == 3 and fg["n_files"] == 2
+    # orphan call before any def emits nothing; (m, g) exists
+    assert ("m", "g") in out.index
+    assert not any(out.index.get_level_values(1) == "orphan")
+
+    def e4(repo, path, head, tail, ordinal):
+        h = int(hashlib.md5(
+            f"{repo}|{path}|{head}|{tail}|{ordinal}".encode())
+            .hexdigest()[:8], 16)
+        return 5000 + h % 5000
+    scores = [e4("r1", "a.py", "f", "g", 1), e4("r1", "a.py", "f", "g", 2),
+              e4("r2", "b.py", "f", "g", 1)]
+    assert fg["sum_score_e4"] == sum(scores)
+    want = sum(s * s for s in scores) / sum(scores) / 1e4
+    assert abs(fg["bag_score"] - want) < 1e-6
