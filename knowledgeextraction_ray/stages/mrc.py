@@ -49,25 +49,48 @@ def build_examples(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(out)
 
 
+def window_starts(ctx_len: int, max_span: int, stride: int) -> list[int]:
+    return list(range(0, max(1, ctx_len - max_span + stride), stride))
+
+
 def explode_features(batch: pa.Table, max_span: int = 200,
                      stride: int = 100) -> pa.Table:
     """example → sliding-window doc-span features (M11 analog).
 
     Char-level, so the reference's tok↔orig index maps are identity; the
-    window bookkeeping (span_start, doc_span_index) is kept exactly."""
+    window bookkeeping (span_start, doc_span_index, ctx_len for the
+    max-context check) is kept exactly."""
     out = {"example_id": [], "question": [], "doc_span_index": [],
-           "span_start": [], "span_text": []}
+           "span_start": [], "span_text": [], "ctx_len": []}
     for ex, q, ctx in zip(batch["example_id"].to_pylist(),
                           batch["question"].to_pylist(),
                           batch["context"].to_pylist()):
-        starts = list(range(0, max(1, len(ctx) - max_span + stride), stride))
-        for i, s in enumerate(starts):
+        for i, s in enumerate(window_starts(len(ctx), max_span, stride)):
             out["example_id"].append(ex)
             out["question"].append(q)
             out["doc_span_index"].append(i)
             out["span_start"].append(s)
             out["span_text"].append(ctx[s:s + max_span])
+            out["ctx_len"].append(len(ctx))
     return pa.Table.from_pydict(out)
+
+
+def char_is_max_context(starts: list[int], lengths: list[int],
+                        cur_index: int, pos: int) -> bool:
+    """Char-level restatement of the reference ``_check_is_max_context``
+    (``utils/mrc_utils.py:80-114``): of all sliding windows containing
+    ``pos``, the one maximizing ``min(left_ctx, right_ctx) + 0.01·len``
+    owns the position; a candidate is scored only in its owning window."""
+    best = None
+    best_i = None
+    for i, (st, ln) in enumerate(zip(starts, lengths)):
+        end = st + ln - 1
+        if pos < st or pos > end:
+            continue
+        score = min(pos - st, end - pos) + 0.01 * ln
+        if best is None or score > best:
+            best, best_i = score, i
+    return cur_index == best_i
 
 
 class MrcSpanScorer:
@@ -75,48 +98,65 @@ class MrcSpanScorer:
 
     Stand-in for the ALBERT squad-v2 head (start_n_top × end_n_top beam,
     ``mrc_albert.py:63-65``): candidates are grammar matches inside the span;
-    start/end log-probs decay with intra-span rank; cls_logit is the
-    no-answer signal (positive when the feature has no candidate)."""
+    start/end log-probs decay with intra-span rank.
 
-    def __init__(self, start_n_top: int = 5):
+    Reference-parity details:
+
+    - every feature emits exactly ONE cls row (``cand_start = -1``) whether
+      or not it has candidates — ``accumulate_predictions_v2`` records
+      ``cls_logits`` per feature independently of candidate filtering, so
+      the example's no-answer odds are a mean over FEATURES, not candidates;
+    - a candidate survives only if this window is the max-context owner of
+      its START position (``char_is_max_context``), the reference's
+      ``token_is_max_context`` guard — overlapping windows no longer emit
+      the same span twice with asymmetric context."""
+
+    def __init__(self, start_n_top: int = 5, max_span: int = 200,
+                 stride: int = 100):
         self.patterns = {t: re.compile(p)
                          for t, p in MENTION_PATTERNS.items()}
         self.n_top = start_n_top
+        self.max_span = max_span
+        self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"example_id": [], "doc_span_index": [], "span_start": [],
                "cand_start": [], "cand_end": [], "start_log_prob": [],
                "end_log_prob": [], "cls_logit": [], "answer_text": []}
-        for ex, q, dsi, s0, text in zip(
+
+        def emit(ex, dsi, s0, cs, ce, slp, elp, cls, text):
+            out["example_id"].append(ex)
+            out["doc_span_index"].append(dsi)
+            out["span_start"].append(s0)
+            out["cand_start"].append(cs)
+            out["cand_end"].append(ce)
+            out["start_log_prob"].append(slp)
+            out["end_log_prob"].append(elp)
+            out["cls_logit"].append(cls)
+            out["answer_text"].append(text)
+
+        for ex, q, dsi, s0, text, ctx_len in zip(
                 batch["example_id"].to_pylist(),
                 batch["question"].to_pylist(),
                 batch["doc_span_index"].to_pylist(),
                 batch["span_start"].to_pylist(),
-                batch["span_text"].to_pylist()):
+                batch["span_text"].to_pylist(),
+                batch["ctx_len"].to_pylist()):
             qtype = QTYPE_OF[q]
             pat = self.patterns[qtype]
             cands = [(m.span(1)) for m in pat.finditer(text)][: self.n_top]
+            # per-FEATURE cls row, always (reference: cls_dict per feature)
+            emit(ex, dsi, s0, -1, -1, -1e4, -1e4,
+                 5.0 if not cands else -5.0, "")
             if not cands:
-                out["example_id"].append(ex)
-                out["doc_span_index"].append(dsi)
-                out["span_start"].append(s0)
-                out["cand_start"].append(-1)
-                out["cand_end"].append(-1)
-                out["start_log_prob"].append(-1e4)
-                out["end_log_prob"].append(-1e4)
-                out["cls_logit"].append(5.0)       # confident no-answer
-                out["answer_text"].append("")
                 continue
+            starts = window_starts(ctx_len, self.max_span, self.stride)
+            lengths = [min(self.max_span, ctx_len - s) for s in starts]
             for rank, (cs, ce) in enumerate(cands):
-                out["example_id"].append(ex)
-                out["doc_span_index"].append(dsi)
-                out["span_start"].append(s0)
-                out["cand_start"].append(s0 + cs)   # GLOBAL char offsets
-                out["cand_end"].append(s0 + ce)
-                out["start_log_prob"].append(-0.1 * rank)
-                out["end_log_prob"].append(-0.05 * rank)
-                out["cls_logit"].append(-5.0)
-                out["answer_text"].append(text[cs:ce])
+                if not char_is_max_context(starts, lengths, dsi, s0 + cs):
+                    continue
+                emit(ex, dsi, s0, s0 + cs, s0 + ce,    # GLOBAL char offsets
+                     -0.1 * rank, -0.05 * rank, 0.0, text[cs:ce])
         return pa.Table.from_pydict(out)
 
 
@@ -129,14 +169,31 @@ def _softmax(scores: np.ndarray) -> np.ndarray:
     return e / e.sum()
 
 
-def _merge_example(g: pd.DataFrame, n_best: int) -> dict:
+def _final_answer(entities: list, na_prob: float,
+                  threshold: float | None) -> str:
+    """``get_predictions_v2`` null-odds rule (``mrc_utils.py:455-459``):
+    best non-null text unless a threshold is given and the example's
+    no-answer odds reach it."""
+    if not entities:
+        return ""
+    if threshold is not None and na_prob >= threshold:
+        return ""
+    return entities[0]
+
+
+def _merge_example(g: pd.DataFrame, n_best: int,
+                   null_threshold: float | None = 0.0) -> dict:
     """Fan-in for ONE example (G1): mean log-probs per (start, end) cell →
     sort desc (total, then (start,end) asc for a TOTAL order) → text dedup
-    first-wins → softmax → na_prob = mean cls logit."""
-    na_prob = float(g["cls_logit"].mean())
+    first-wins → softmax → na_prob = mean PER-FEATURE cls logit (the cls
+    rows, ``cand_start == -1``) → thresholded final answer."""
+    cls_rows = g[g["cand_start"] == -1]
+    na_prob = float(cls_rows["cls_logit"].mean()) if len(cls_rows) \
+        else float(g["cls_logit"].mean())
     real = g[g["cand_start"] >= 0]
     if len(real) == 0:
-        return {"entities": [], "probabilities": [], "na_prob": na_prob}
+        return {"entities": [], "probabilities": [], "na_prob": na_prob,
+                "final_answer": ""}
     cell = (real.groupby(["cand_start", "cand_end"])
             .agg(s=("start_log_prob", "mean"), e=("end_log_prob", "mean"),
                  text=("answer_text", "first"))
@@ -155,17 +212,30 @@ def _merge_example(g: pd.DataFrame, n_best: int) -> dict:
             break
     totals = np.array([r["total"] for r in kept])
     probs = _softmax(totals)
-    return {"entities": [r["text"] for r in kept],
+    ents = [r["text"] for r in kept]
+    return {"entities": ents,
             "probabilities": [float(p) for p in probs],
-            "na_prob": na_prob}
+            "na_prob": na_prob,
+            "final_answer": _final_answer(ents, na_prob, null_threshold)}
 
 
-def _merge_bucket(g: pd.DataFrame, n_best: int) -> pd.DataFrame:
+def _merge_bucket(g: pd.DataFrame, n_best: int,
+                  null_threshold: float | None = 0.0) -> pd.DataFrame:
     """Vectorized fan-in for ALL examples in a bucket — same semantics as
     :func:`_merge_example` (parity-tested) but one pandas pipeline instead
     of per-example Python (a per-example loop measured ~1 ms/example →
     dominated the whole MRC pipeline)."""
-    na = g.groupby("example_id", sort=True)["cls_logit"].mean()
+    cls_rows = g[g["cand_start"] == -1]
+    if len(cls_rows):
+        na = cls_rows.groupby("example_id", sort=True)["cls_logit"].mean()
+        # examples with no cls row at all (hand-built inputs) fall back
+        missing = g.loc[~g["example_id"].isin(na.index)]
+        if len(missing):
+            na = pd.concat([na, missing.groupby("example_id",
+                                                sort=True)["cls_logit"]
+                            .mean()]).sort_index()
+    else:
+        na = g.groupby("example_id", sort=True)["cls_logit"].mean()
     real = g[g["cand_start"] >= 0]
     cell = (real.groupby(["example_id", "cand_start", "cand_end"],
                          sort=False)
@@ -190,12 +260,18 @@ def _merge_bucket(g: pd.DataFrame, n_best: int) -> pd.DataFrame:
         lambda v: v if isinstance(v, list) else [])
     out["probabilities"] = out["probabilities"].apply(
         lambda v: v if isinstance(v, list) else [])
+    out["final_answer"] = [
+        _final_answer(e, p, null_threshold)
+        for e, p in zip(out["entities"], out["na_prob"])]
     out = out.reset_index()
-    return out[["example_id", "entities", "probabilities", "na_prob"]]
+    return out[["example_id", "entities", "probabilities", "na_prob",
+                "final_answer"]]
 
 
-def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32):
-    """feature-level predictions → per-example n-best rows."""
+def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32,
+                null_threshold: float | None = 0.0):
+    """feature-level predictions → per-example n-best rows (+ the
+    null-odds-thresholded ``final_answer``)."""
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = stable_hash64(batch["example_id"].to_pylist()) % num_buckets
         return batch.append_column("bucket",
@@ -203,7 +279,7 @@ def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32):
 
     return (scored.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(lambda g: _merge_bucket(g, n_best),
+            .map_groups(lambda g: _merge_bucket(g, n_best, null_threshold),
                         batch_format="pandas"))
 
 
@@ -232,13 +308,16 @@ def mrc_answer_f1(nbest_pdf, gold_map: dict[str, set[str]]) -> dict:
 
 
 def mrc_pipeline(corpus_ds, max_span: int = 200, stride: int = 100,
-                 n_best: int = 20):
-    """corpus → per-(file × question) n-best entity lists."""
+                 n_best: int = 20, null_threshold: float | None = 0.0):
+    """corpus → per-(file × question) n-best entity lists + thresholded
+    final answer."""
     examples = corpus_ds.map_batches(build_examples, batch_format="pyarrow")
     feats = examples.map_batches(
         lambda b: explode_features(b, max_span, stride),
         batch_format="pyarrow")
     from ..runtime import pool_size
-    scored = feats.map_batches(MrcSpanScorer, batch_format="pyarrow",
-                               concurrency=(1, pool_size(1.0)))
-    return nbest_merge(scored, n_best)
+    scored = feats.map_batches(
+        MrcSpanScorer,
+        fn_constructor_kwargs={"max_span": max_span, "stride": stride},
+        batch_format="pyarrow", concurrency=(1, pool_size(1.0)))
+    return nbest_merge(scored, n_best, null_threshold=null_threshold)

@@ -265,11 +265,14 @@ def test_merge_bucket_matches_merge_example():
     for ex in range(12):
         n_feat = rs.randint(1, 6)
         for f in range(n_feat):
-            if rs.rand() < 0.2:
-                rows.append({"example_id": f"e{ex}", "cand_start": -1,
-                             "cand_end": -1, "start_log_prob": -1e4,
-                             "end_log_prob": -1e4, "cls_logit": 5.0,
-                             "answer_text": ""})
+            no_cand = rs.rand() < 0.2
+            # every feature carries exactly one cls row (scorer convention)
+            rows.append({"example_id": f"e{ex}", "cand_start": -1,
+                         "cand_end": -1, "start_log_prob": -1e4,
+                         "end_log_prob": -1e4,
+                         "cls_logit": 5.0 if no_cand else -5.0,
+                         "answer_text": ""})
+            if no_cand:
                 continue
             for c in range(rs.randint(1, 4)):
                 s = int(rs.randint(0, 50))
@@ -277,7 +280,7 @@ def test_merge_bucket_matches_merge_example():
                              "cand_end": s + int(rs.randint(1, 6)),
                              "start_log_prob": float(-0.1 * c),
                              "end_log_prob": float(-0.05 * c),
-                             "cls_logit": -5.0,
+                             "cls_logit": 0.0,
                              "answer_text": f"ans{s % 7}"})
     g = pd.DataFrame(rows)
     vec = _merge_bucket(g, n_best=5).set_index("example_id")
@@ -287,6 +290,36 @@ def test_merge_bucket_matches_merge_example():
         assert got["entities"] == ref["entities"], ex
         assert np.allclose(got["probabilities"], ref["probabilities"])
         assert abs(got["na_prob"] - ref["na_prob"]) < 1e-12
+        assert got["final_answer"] == ref["final_answer"], ex
+
+
+def test_char_is_max_context_mirrors_reference_example():
+    """The reference's own docstring example (mrc_utils.py:83-97): doc
+    'the man went to the store and bought a gallon of milk', spans A=0-4,
+    B=3-7, C=6-10; 'bought' (position 7) belongs to span C (left 1 right 3)
+    not span B (left 4 right 0)."""
+    from knowledgeextraction_ray.stages.mrc import char_is_max_context
+    starts, lengths = [0, 3, 6], [5, 5, 5]
+    assert char_is_max_context(starts, lengths, 2, 7)        # span C owns
+    assert not char_is_max_context(starts, lengths, 1, 7)    # span B not
+    # position 4: A(left 4, right 0)=0.05, B(left 1, right 3)=1.05 → B
+    assert char_is_max_context(starts, lengths, 1, 4)
+    assert not char_is_max_context(starts, lengths, 0, 4)
+
+
+def test_mrc_final_answer_null_threshold():
+    """get_predictions_v2 parity: best non-null text unless na_prob >=
+    threshold; threshold None never nulls (the serving default)."""
+    from knowledgeextraction_ray.stages.mrc import _merge_example
+    g = pd.DataFrame({
+        "cand_start": [-1, 0], "cand_end": [-1, 5],
+        "start_log_prob": [-1e4, -0.1], "end_log_prob": [-1e4, -0.1],
+        "cls_logit": [2.5, 0.0], "answer_text": ["", "foo"],
+    })
+    assert _merge_example(g, 5, null_threshold=0.0)["final_answer"] == ""
+    assert _merge_example(g, 5, null_threshold=3.0)["final_answer"] == "foo"
+    assert _merge_example(g, 5, null_threshold=None)["final_answer"] == "foo"
+    assert _merge_example(g, 5, null_threshold=None)["na_prob"] == 2.5
 
 
 def test_link_mentions_actor_variant_matches_stateless(corpus_ready):
