@@ -186,6 +186,42 @@ group by 1, 2
 """
 
 
+def sql_mrc_answers(sf_dir: str) -> str:
+    """Single-window MRC oracle: per (content-sha × question type), matches
+    in document order, beam-5, text dedup by first occurrence, softmax over
+    -0.15·rank totals, ±5 no-answer odds, null-thresholded final answer —
+    the exact semantics of the stand-in scorer + ``get_predictions_v2``
+    merge when one window covers the file."""
+    corpus = corpus_glob(sf_dir)
+    branches = "\nunion all\n".join(
+        f"""select sha, '{label}' as qtype, unnest(l) as surface,
+       unnest(range(1, len(l) + 1)) as ord
+from (select sha, regexp_extract_all(content, '{pat}', 1) as l
+      from files)"""
+        for label, pat in MENTION_PATTERNS.items())
+    return f"""
+with files as (select distinct sha256(content) as sha, content
+               from read_parquet('{corpus}')),
+q as (select unnest(['IMPORT', 'CLASS', 'FUNC', 'CALL']) as qtype),
+m as ({branches}),
+beam as (select * from m where ord <= 5),
+kept as (select sha, qtype, surface, min(ord) as ord
+         from beam group by 1, 2, 3),
+agg as (select sha, qtype, count(*) as n_entities,
+               round(1.0 / sum(exp(-0.15 * (ord - 1))), 6) as top_prob,
+               min(case when ord = 1 then surface end) as top_surface
+        from kept group by 1, 2),
+allq as (select f.sha, q.qtype
+         from (select distinct sha from files) f cross join q)
+select allq.sha || ':' || allq.qtype as example_id,
+       coalesce(n_entities, 0) as n_entities,
+       coalesce(top_prob, 0.0) as top_prob,
+       case when n_entities is null then 5.0 else -5.0 end as na_prob,
+       coalesce(top_surface, '') as final_answer
+from allq left join agg using (sha, qtype)
+"""
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
@@ -196,4 +232,5 @@ KG_ORACLES = {
     # the resumable/checkpointed path must produce the identical triple set
     "kg_triples_resumable": sql_triples,
     "nre_bags": sql_nre_bags,
+    "mrc_answers": sql_mrc_answers,
 }

@@ -161,7 +161,43 @@ select doc_id,
 from documents
 """
 
+# winnowing fingerprints (Schleimer et al.): the k-gram polynomial hash is
+# computed over BYTES via the hex expansion (byte-exact for any encoding);
+# sum fits HUGEINT, and mod 2^61 equals the Python (mod 2^64 → mask) result
+# because 2^61 divides 2^64. Window min + consecutive dedup are plain window
+# functions.
+_FP_K, _FP_W, _FP_MOD = 16, 8, 1 << 61
+_FP_POWERS = [pow(1_000_003, _FP_K - 1 - j, _FP_MOD) for j in range(_FP_K)]
+_FP_TERMS = " + ".join(
+    f"(('0x'||substr(h, {2 * j}+p*2+1, 2))::bigint * {_FP_POWERS[j]}::hugeint)"
+    for j in range(_FP_K))
+
+SQL_DOC_FINGERPRINT = f"""
+with hx as (select doc_id, hex(text) as h, length(hex(text))//2 as n
+            from documents),
+g as (select doc_id, n - {_FP_K} + 1 as n_hashes,
+             unnest(range(0, n - {_FP_K} + 1)) as p, h
+      from hx where n >= {_FP_K}),
+fp as (select doc_id, n_hashes, p,
+              ({_FP_TERMS}) % {_FP_MOD}::hugeint as f from g),
+w as (select doc_id, n_hashes, p,
+             min(f) over (partition by doc_id order by p
+                          rows between current row and {_FP_W - 1} following)
+               as m
+      from fp),
+sel as (select doc_id, p, m from w
+        where p <= greatest(n_hashes - {_FP_W}, 0)),
+ded as (select doc_id, p, m,
+               lag(m) over (partition by doc_id order by p) as pm from sel)
+select doc_id,
+       cast(row_number() over (partition by doc_id order by p) - 1
+            as bigint) as fp_index,
+       cast(m as bigint) as fingerprint
+from ded where pm is null or m != pm
+"""
+
 TABLE_ORACLES = {
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_quality": SQL_DOC_QUALITY,

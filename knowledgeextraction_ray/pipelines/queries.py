@@ -95,6 +95,38 @@ def q_nre_bags(sf_dir: str):
     return nre_bag_pipeline(corpus)
 
 
+def q_mrc_answers(sf_dir: str):
+    """SQL-gated MRC: the single-window configuration (max_span covers any
+    corpus file) runs the full explode → score → n-best merge pipeline and
+    reduces each (file × question) to (n_entities, top softmax prob,
+    no-answer odds, null-thresholded final answer) — every value exactly
+    reproducible by the DuckDB ordinal/softmax oracle. The sliding-window
+    configuration (max-context ownership across overlapping windows) is
+    covered by ``mrc_nbest`` (rows) + the unit suite."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..corpus import corpus_parquet_dir, ensure_corpus
+    from ..stages.mrc import mrc_pipeline
+    ensure_corpus(sf_dir)
+    corpus = rd.read_parquet(corpus_parquet_dir(sf_dir), columns=["content"])
+    nbest = mrc_pipeline(corpus, max_span=4096, stride=4096, n_best=10_000)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        ents = batch["entities"].to_pylist()
+        probs = batch["probabilities"].to_pylist()
+        top = np.array([p[0] if p else 0.0 for p in probs])
+        top = np.floor(top * 1e6 + 0.5) / 1e6        # half-away 6dp
+        return pa.Table.from_pydict({
+            "example_id": batch["example_id"],
+            "n_entities": pa.array([len(e) for e in ents], pa.int64()),
+            "top_prob": pa.array(top, pa.float64()),
+            "na_prob": batch["na_prob"],
+            "final_answer": batch["final_answer"],
+        })
+    return nbest.map_batches(shape, batch_format="pyarrow")
+
+
 KG_QUERIES = {
     "kg_corpus_sha": q_corpus_sha,
     "kg_mentions": q_mentions,
@@ -102,6 +134,7 @@ KG_QUERIES = {
     "kg_canonical": q_canonical,
     "kg_triples": q_triples,
     "nre_bags": q_nre_bags,
+    "mrc_answers": q_mrc_answers,
 }
 
 
@@ -261,9 +294,11 @@ def q_doc_simhash(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
-    from ..stages.text_analysis import fingerprint_batch
+    """Winnowing fingerprints, exploded one row per (doc, ordinal) —
+    SQL-gated (byte-hex polynomial hash + window-min oracle)."""
+    from ..stages.text_analysis import fingerprint_rows_batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pyarrow")
+        fingerprint_rows_batch, batch_format="pyarrow")
 
 
 def q_knn_lsh(sf_dir: str):
@@ -308,6 +343,7 @@ TABLE_QUERIES = {
     "part_type_stats": q_part_type_stats,
     "vocab_from_corpus": q_vocab_from_corpus,
     "doc_normalize": q_doc_normalize,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 def q_ner_eval_prf(sf_dir: str):
@@ -479,7 +515,6 @@ TABLE_QUERIES["top_orders_per_customer"] = q_top_orders_per_customer
 ROWS_ONLY_QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash": q_doc_simhash,
-    "doc_fingerprint": q_doc_fingerprint,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup": q_embedding_neardup,

@@ -117,3 +117,21 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         "fingerprints": pa.array(fps, pa.list_(pa.int64())),
         "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
     })
+
+
+def fingerprint_rows_batch(batch: pa.Table) -> pa.Table:
+    """Exploded form — one row per (doc, fingerprint ordinal). The winnowing
+    scheme IS SQL-expressible (byte-hex k-gram polynomial hash + window min
+    + consecutive dedup), so this form carries the full value-hash oracle
+    gate; the list form above is the API for downstream set operations."""
+    ids, idxs, fps = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for i, f in enumerate(rolling_fingerprints(t)):
+            ids.append(d)
+            idxs.append(i)
+            fps.append(f)
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fp_index": pa.array(idxs, pa.int64()),
+        "fingerprint": pa.array(fps, pa.int64()),
+    })
