@@ -72,6 +72,19 @@ def run_bench() -> dict:
     n_triples = _consume(triples)
     headline = time.perf_counter() - t0
 
+    dense_sec = None
+    if os.environ.get("KGRAY_BENCH_DENSE") == "1" or \
+            "--dense" in sys.argv:
+        # flagship with the numpy mini-encoder (real matmul per batch) —
+        # the actor-memory/batch-sizing probe; same triples, slower
+        from knowledgeextraction_ray.config import (PipelineConfig,
+                                                    ScorerConfig)
+        cfg = PipelineConfig(scorer=ScorerConfig(model="dense"))
+        t0 = time.perf_counter()
+        n_dense = _consume(kg_pipeline(SF_DIR, cfg=cfg))
+        dense_sec = round(time.perf_counter() - t0, 3)
+        assert n_dense == n_triples
+
     per_query: dict[str, float] = {}
     if os.environ.get("KGRAY_HEADLINE_ONLY") != "1":
         for name in BENCH_QUERIES:
@@ -80,7 +93,7 @@ def run_bench() -> dict:
             per_query[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "kg_triples_pipeline",
         "value": round(headline, 3),
         "unit": "sec",
@@ -90,6 +103,9 @@ def run_bench() -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / headline, 1),
     }
+    if dense_sec is not None:
+        out["dense_encoder_sec"] = dense_sec
+    return out
 
 
 def run_scaling() -> dict:

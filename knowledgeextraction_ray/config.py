@@ -38,6 +38,10 @@ class ScorerConfig:
     """
 
     decode: str = "argmax"           # "argmax" | "viterbi"
+    # "rule" = deterministic grammar tagger; "dense" = numpy mini-encoder
+    # (real matmul shapes, rule-biased emissions — same tags, real tensor
+    # cost; see stages/ner_scorer.DenseCharTagModel)
+    model: str = "rule"
     batch_size: int = 512
     concurrency: int | None = None   # None → sized from the live cluster
     num_cpus: float = 1.0

@@ -102,6 +102,63 @@ class RuleCharTagModel:
         return out
 
 
+class DenseCharTagModel:
+    """Numpy mini-encoder with REAL tensor math behind the same interface —
+    the memory/batch-sizing stand-in for the reference's ALBERT encoder
+    slot (``nermodels/crf_albert.py:108-170``).
+
+    Per batch: char embedding gather → context window concat → two dense
+    tanh layers → per-char logit projection, all fixed-seed random weights
+    (≈ ``(2·window+1)·emb·hidden + hidden² + hidden·K`` parameters loaded
+    ONCE per actor). Because random weights know no grammar, the bounded
+    dense output (|logit| ≤ ``dense_scale`` after tanh) is ADDED to the
+    rule model's emissions, whose inter-class margins are ≥ 5 — so argmax
+    and Viterbi decode are provably unchanged while every batch pays the
+    full (N·L, window·emb)·(window·emb, hidden) matmul cost. Set
+    ``rule_bias=False`` for a pure random encoder (load-shape experiments
+    only; output is then meaningless by design)."""
+
+    def __init__(self, seed: int = 1234, emb_dim: int = 64,
+                 hidden: int = 256, window: int = 2,
+                 dense_scale: float = 0.5, rule_bias: bool = True):
+        from ..functions.featurize import VOCAB_SIZE
+        rs = np.random.RandomState(seed)
+        self.window = window
+        self.scale = dense_scale
+        ctx = 2 * window + 1
+        self.emb = rs.standard_normal(
+            (VOCAB_SIZE + 4, emb_dim)).astype(np.float32) * 0.1
+        self.w1 = rs.standard_normal(
+            (ctx * emb_dim, hidden)).astype(np.float32) * 0.05
+        self.b1 = np.zeros(hidden, dtype=np.float32)
+        self.w2 = rs.standard_normal((hidden, hidden)).astype(np.float32) \
+            * 0.05
+        self.b2 = np.zeros(hidden, dtype=np.float32)
+        self.w3 = rs.standard_normal(
+            (hidden, NUM_LABELS)).astype(np.float32) * 0.05
+        self.rule = RuleCharTagModel() if rule_bias else None
+
+    def logits(self, ids: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
+        n, L = ids.shape
+        clipped = np.clip(ids, 0, len(self.emb) - 1)
+        e = self.emb[clipped]                          # (N, L, D) gather
+        pads = [np.roll(e, s, axis=1) for s in
+                range(self.window, -self.window - 1, -1)]
+        x = np.concatenate(pads, axis=2).reshape(n * L, -1)
+        h = np.tanh(x @ self.w1 + self.b1)             # (N·L, H)
+        h = np.tanh(h @ self.w2 + self.b2)
+        z = np.tanh(h @ self.w3).reshape(n, L, NUM_LABELS) * self.scale
+        if self.rule is not None:
+            z = z + self.rule.logits(ids, seq_len)
+        return z.astype(np.float32)
+
+
+def build_model(cfg: "ScorerConfig"):
+    if cfg.model == "dense":
+        return DenseCharTagModel()
+    return RuleCharTagModel()
+
+
 def bio_transitions() -> np.ndarray:
     """(K, K) transition scores: 0 for BIO-legal moves, -1e4 otherwise.
 
@@ -156,7 +213,7 @@ class NerScorer:
                  segment_cfg: SegmentConfig | None = None):
         self.cfg = scorer_cfg or ScorerConfig()
         self.seg = segment_cfg or SegmentConfig()
-        self.model = RuleCharTagModel()
+        self.model = build_model(self.cfg)
         self.transitions = bio_transitions()
 
     def _decode(self, logits: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
