@@ -353,3 +353,46 @@ def test_hash_join_wrapper():
     assert len(got) == len(want)
     assert (set(map(tuple, got[["k", "a", "b"]].values))
             == set(map(tuple, want[["k", "a", "b"]].values)))
+
+
+# --------------------------------------------------------------------------
+# serving envelopes (reference ner_server.py response contracts)
+# --------------------------------------------------------------------------
+
+def test_crf_serving_envelope():
+    from knowledgeextraction_ray.pipelines.serving import crf_process
+    queries = ["import utils", "def run(a):"]
+    out = crf_process(queries)
+    assert set(out) == {"predictions", "query_list"}
+    assert out["query_list"] == queries
+    assert len(out["predictions"]) == 2
+    p0 = out["predictions"][0]
+    assert set(p0) == {"words", "tags"}
+    assert p0["words"] == list("import utils")
+    assert p0["tags"][7] == "IMPORT-B"            # 'utils' surface start
+    assert out["predictions"][1]["tags"][4] == "FUNC-B"
+
+
+def test_mrc_serving_envelope():
+    from knowledgeextraction_ray.pipelines.serving import mrc_process
+    out = mrc_process([
+        {"qas_id": "q1", "question": "Which functions are defined?",
+         "context": "def alpha(x):\n    v0 = beta(x)"},
+        {"qas_id": "q2", "question": "Which classes are defined?",
+         "context": "def alpha(x):\n    v0 = beta(x)"},
+    ])
+    assert [r["guid"] for r in out] == ["q1", "q2"]
+    assert set(out[0]) == {"guid", "entities", "probabilities", "na_prob"}
+    assert out[0]["entities"] == ["alpha"]
+    assert out[0]["na_prob"] < 0
+    assert out[1]["entities"] == [] and out[1]["na_prob"] > 0
+
+
+def test_nre_serving_predict_shape():
+    from knowledgeextraction_ray.pipelines.serving import nre_process
+    text = "def f(x):\n    y = g(x)"
+    out = nre_process([{"text": text, "h": {"pos": [4, 5]},
+                        "t": {"pos": [18, 19]}}])
+    assert len(out) == 1
+    rel, score = out[0]
+    assert rel == "calls" and 0.5 <= score < 1.0
