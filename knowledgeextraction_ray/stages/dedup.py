@@ -463,7 +463,10 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, mode: str = "auto",
     import pyarrow.compute as pc
     import ray
     shingle_k = kw.get("shingle_k", 5)
-    cands = minhash_lsh_candidates(ds, **kw)
+    # materialize: the candidate list is tiny (near-dup density) and has TWO
+    # consumers (the id pull for shingling and the verify scan) — lazy, the
+    # whole sketch/band/bucket pipeline would execute twice
+    cands = minhash_lsh_candidates(ds, **kw).materialize()
     if mode == "join":
         verified = _verify_via_join(cands, ds, shingle_k)
     else:
