@@ -105,6 +105,13 @@ def run_bench() -> dict:
     }
     if dense_sec is not None:
         out["dense_encoder_sec"] = dense_sec
+    # attach the most recent scaling-ladder result (written by --scaling)
+    # so the per-round BENCH record carries BOTH efficiency pairs
+    scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_file):
+        with open(scaling_file) as f:
+            out["scaling"] = json.load(f)
     return out
 
 
@@ -144,6 +151,9 @@ def run_scaling() -> dict:
             (hi_c / lo_c)
         out[f"efficiency_{lo_c}_to_{hi_c}"] = round(eff, 3)
     out["scaling_efficiency"] = out[f"efficiency_{levels[0]}_to_{levels[1]}"]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING.json"), "w") as f:
+        json.dump(out, f)
     return out
 
 

@@ -43,18 +43,24 @@ class FusedExtract:
 
 
 def fused_linked_mentions(corpus_ds, cfg: PipelineConfig,
-                          alias_parquet: str):
-    from ..runtime import fixed_pool_size
+                          alias_parquet: str, share: float = 1.0):
+    from ..runtime import fixed_pool_size, pool_size
     # batch_size=None → whole input blocks: output block count mirrors the
     # input layout instead of fragmenting into thousands of small blocks
     # (every downstream per-block task pays fixed overhead; a fragmented
     # mention stream measured 5× slower through the aggregates).
-    # FIXED pool (no autoscale ramp) — safe because this is the only pool
-    # in the plan and it leaves a quarter of the node to the read tasks.
+    # share=1.0: FIXED pool (no autoscale ramp) — safe because this is the
+    # only pool in the plan and it leaves a quarter of the node to the read
+    # tasks. share<1 (concurrent wave jobs): AUTOSCALING pool capped at that
+    # fraction — N fixed pools would book every CPU and deadlock the reads.
+    if share >= 1.0:
+        concurrency = fixed_pool_size()
+    else:
+        concurrency = (1, pool_size(share))
     return corpus_ds.map_batches(
         FusedExtract,
         fn_constructor_kwargs={"cfg": cfg, "alias_parquet": alias_parquet},
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=fixed_pool_size(),
+        concurrency=concurrency,
     )

@@ -56,9 +56,12 @@ def completed_waves(out_dir: str, num_waves: int) -> set[int]:
 
 
 def _run_wave(wave: int, files: list[str], out_dir: str,
-              cfg: PipelineConfig, alias_parquet: str) -> dict:
+              cfg: PipelineConfig, alias_parquet: str,
+              share: float = 1.0) -> dict:
     """Extraction stages for one wave → atomic mentions partition +
-    manifest. Returns the counter dict."""
+    manifest. Returns the counter dict. ``share`` < 1 caps the wave's actor
+    pool to that CPU fraction (concurrent waves must not each book the
+    whole node)."""
     import ray.data as rd
 
     from ..stages.fused import fused_linked_mentions
@@ -67,7 +70,7 @@ def _run_wave(wave: int, files: list[str], out_dir: str,
     tmp = tempfile.mkdtemp(prefix=f"wave{wave}_", dir=out_dir)
     try:
         ds = rd.read_parquet(files)
-        linked = fused_linked_mentions(ds, cfg, alias_parquet)
+        linked = fused_linked_mentions(ds, cfg, alias_parquet, share=share)
         linked.write_parquet(tmp)
         # counters from the landed partition (cheap metadata scan + one
         # column read — the partition is this wave's mentions only)
@@ -167,12 +170,45 @@ def _invalidate_stale_waves(out_dir: str, waves: list[list[str]],
     return stale
 
 
+def _stabilize_fsspec_http_import() -> None:
+    """Ray's path resolution lazily runs ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY dataset creation/write. In this
+    environment that import always fails (no aiohttp), which is fine
+    serially (Ray catches it) — but concurrent wave threads race the
+    failing import and one observes a partially-initialized module, raising
+    an ImportError Ray does NOT catch. Pre-seed a sentinel module so the
+    import succeeds deterministically; the sentinel class never matches a
+    real filesystem instance, so local-path behavior is unchanged."""
+    import sys
+    import types
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:                    # sentinel, never instantiated
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def run_resumable_kg(sf_dir: str, out_dir: str,
                      cfg: PipelineConfig | None = None, num_waves: int = 4,
-                     stop_after_waves: int | None = None) -> dict:
+                     stop_after_waves: int | None = None,
+                     max_concurrent_waves: int = 1) -> dict:
     """Resumable flagship run. Call again after a crash — completed waves are
     skipped (anti-join against manifests). ``stop_after_waves`` simulates a
-    mid-run kill for tests. Returns a run report."""
+    mid-run kill for tests. Returns a run report.
+
+    ``max_concurrent_waves`` > 1 drives that many wave Dataset jobs from
+    driver THREADS: each wave still lands atomically (tempdir + rename), but
+    the ~3-5 s per-wave session/pool spin-up overlaps instead of summing —
+    at 100 TB wave counts this is the difference between pipeline-bound and
+    constant-bound. Serial when ``stop_after_waves`` is set (the kill-test
+    needs a deterministic prefix)."""
     import ray.data as rd
 
     from ..pipelines.kg import canonical_map_of
@@ -190,16 +226,30 @@ def run_resumable_kg(sf_dir: str, out_dir: str,
     done = completed_waves(out_dir, num_waves)
     report = {"skipped_waves": sorted(done), "ran_waves": [],
               "invalidated_waves": stale}
-    ran = 0
-    for w, files in enumerate(waves):
-        if w in done or not files:
-            continue
-        if stop_after_waves is not None and ran >= stop_after_waves:
-            report["stopped_early"] = True
-            return report
-        _run_wave(w, files, out_dir, cfg, alias_path(sf_dir))
-        report["ran_waves"].append(w)
-        ran += 1
+    pending = [(w, files) for w, files in enumerate(waves)
+               if w not in done and files]
+    if max_concurrent_waves > 1 and stop_after_waves is None and \
+            len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        _stabilize_fsspec_http_import()
+        share = 1.0 / min(max_concurrent_waves, len(pending))
+        with ThreadPoolExecutor(max_workers=max_concurrent_waves) as ex:
+            futs = {ex.submit(_run_wave, w, files, out_dir, cfg,
+                              alias_path(sf_dir), share): w
+                    for w, files in pending}
+            for f in futs:
+                f.result()                      # propagate wave errors
+        report["ran_waves"] = sorted(w for _, w in
+                                     ((f, futs[f]) for f in futs))
+    else:
+        ran = 0
+        for w, files in pending:
+            if stop_after_waves is not None and ran >= stop_after_waves:
+                report["stopped_early"] = True
+                return report
+            _run_wave(w, files, out_dir, cfg, alias_path(sf_dir))
+            report["ran_waves"].append(w)
+            ran += 1
     # final wide stages from the checkpointed mentions (never re-extract)
     linked = rd.read_parquet(os.path.join(out_dir, "mentions"),
                              file_extensions=["parquet"])

@@ -102,3 +102,15 @@ def test_manifest_contents(corpus_ready, tmp_path):
     assert (set(map(tuple, got[key].values))
             == set(map(tuple, direct[key].values)))
     assert tm["n_triples"] == len(direct)
+
+
+def test_concurrent_waves_byte_identical(corpus_ready, out_dirs):
+    """Driving multiple wave jobs from driver threads must land the exact
+    same partitions as the serial run (atomic tempdir+rename per wave)."""
+    from knowledgeextraction_ray.state.lineage import run_resumable_kg
+    dir_a, dir_b = out_dirs
+    run_resumable_kg(corpus_ready, dir_a, num_waves=3)
+    rep = run_resumable_kg(corpus_ready, dir_b, num_waves=3,
+                           max_concurrent_waves=3)
+    assert rep["ran_waves"] == [0, 1, 2]
+    assert _file_bytes(dir_a) == _file_bytes(dir_b)
