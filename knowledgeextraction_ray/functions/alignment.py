@@ -1,0 +1,167 @@
+"""Char ↔ token alignment for real (SentencePiece-style) tokenizers.
+
+Clean-room restatement of the reference MRC featurizer's alignment core
+(``utils/mrc_utils.py:116-244``): a subword tokenizer normalizes text
+(case/accents/whitespace markers), so answer spans predicted in TOKEN space
+must be mapped back to ORIGINAL char offsets through a banded
+longest-common-subsequence between the original text and the concatenated
+token text:
+
+- :func:`lcs_alignment` — the banded LCS (band ``|n-m|+5``, doubled once if
+  the match ratio stays below 0.8·n; two rounds max, exactly the reference
+  loop) with backtrace into ``orig_to_chartok`` / ``chartok_to_orig`` maps,
+  and the reference's MISMATCH failure mode (``None`` when the common
+  subsequence stays under 80% — the caller emits zero features for the
+  example, ``mrc_utils.py:216-230``).
+- :func:`convert_index` — ``_convert_index`` parity: resolve an unaligned
+  position to the nearest aligned neighbor with the reference's start/end
+  asymmetry.
+- :func:`token_to_orig_maps` — the full pipeline: token list → chartok
+  bookkeeping (SPIECE underline → space) → LCS → per-token
+  ``tok_start_to_orig_index`` / ``tok_end_to_orig_index``.
+
+The char-level flagship featurizer doesn't need any of this (its maps are
+identity); these functions are the drop-in requirement for plugging a real
+sentencepiece tokenizer into ``stages/mrc.py``.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+
+SPIECE_UNDERLINE = "▁"
+
+
+def default_char_match(a: str, b: str) -> bool:
+    """Reference match rule analog: compare the original char after
+    NFKD normalization + accent strip (``tokenization.preprocess_text`` on
+    a single char with ``lower=False``) against the token-text char."""
+    na = "".join(c for c in unicodedata.normalize("NFKD", a)
+                 if not unicodedata.combining(c))
+    return na == b
+
+
+def lcs_alignment(orig_text: str, tok_cat_text: str, match_fn=None):
+    """Banded LCS between ``orig_text`` (len n) and ``tok_cat_text``
+    (len m) → ``(orig_to_chartok, chartok_to_orig)`` position maps
+    (``None`` at unaligned positions), or ``None`` on the reference's
+    mismatch bail-out (LCS < 0.8·n after both band rounds, or no aligned
+    char at all)."""
+    match_fn = match_fn or default_char_match
+    n, m = len(orig_text), len(tok_cat_text)
+    if n == 0 or m == 0:
+        return None
+    f = np.zeros((n, m), dtype=np.float32)
+    g: dict[tuple[int, int], int] = {}
+
+    def _lcs_match(max_dist: int) -> None:
+        f.fill(0)
+        g.clear()
+        for i in range(n):
+            # banded: subword/original mismatch stays local, so only a
+            # diagonal band is evaluated (reference optimization note)
+            for j in range(i - max_dist, i + max_dist):
+                if j >= m or j < 0:
+                    continue
+                if i > 0:
+                    g[(i, j)] = 0
+                    f[i, j] = f[i - 1, j]
+                if j > 0 and f[i, j - 1] > f[i, j]:
+                    g[(i, j)] = 1
+                    f[i, j] = f[i, j - 1]
+                f_prev = f[i - 1, j - 1] if i > 0 and j > 0 else 0
+                if match_fn(orig_text[i], tok_cat_text[j]) and \
+                        f_prev + 1 > f[i, j]:
+                    g[(i, j)] = 2
+                    f[i, j] = f_prev + 1
+
+    max_dist = abs(n - m) + 5
+    for _ in range(2):
+        _lcs_match(max_dist)
+        if f[n - 1, m - 1] > 0.8 * n:
+            break
+        max_dist *= 2
+
+    orig_to_chartok: list[int | None] = [None] * n
+    chartok_to_orig: list[int | None] = [None] * m
+    i, j = n - 1, m - 1
+    while i >= 0 and j >= 0:
+        if (i, j) not in g:
+            break
+        if g[(i, j)] == 2:
+            orig_to_chartok[i] = j
+            chartok_to_orig[j] = i
+            i, j = i - 1, j - 1
+        elif g[(i, j)] == 1:
+            j -= 1
+        else:
+            i -= 1
+    if all(v is None for v in orig_to_chartok) or \
+            f[n - 1, m - 1] < 0.8 * n:
+        return None                               # MISMATCH → zero features
+    return orig_to_chartok, chartok_to_orig
+
+
+def convert_index(index: list, pos: int, m: int | None = None,
+                  is_start: bool = True) -> int:
+    """``_convert_index`` (``mrc_utils.py:43-76``): nearest aligned
+    neighbor with start/end-asymmetric interpolation."""
+    if index[pos] is not None:
+        return index[pos]
+    n = len(index)
+    rear = pos
+    while rear < n - 1 and index[rear] is None:
+        rear += 1
+    front = pos
+    while front > 0 and index[front] is None:
+        front -= 1
+    assert index[front] is not None or index[rear] is not None
+    if index[front] is None:
+        if index[rear] >= 1:
+            return 0 if is_start else index[rear] - 1
+        return index[rear]
+    if index[rear] is None:
+        if m is not None and index[front] < m - 1:
+            return index[front] + 1 if is_start else m - 1
+        return index[front]
+    if is_start:
+        if index[rear] > index[front] + 1:
+            return index[front] + 1
+        return index[rear]
+    if index[front] < index[rear] - 1:
+        return index[rear] - 1
+    return index[front]
+
+
+def token_to_orig_maps(para_tokens: list[str], paragraph_text: str,
+                       match_fn=None):
+    """Token list → per-token original-char span maps
+    ``(tok_start_to_orig_index, tok_end_to_orig_index)``; ``None`` on the
+    LCS mismatch bail-out (caller emits no features —
+    ``mrc_utils.py:140-244``)."""
+    chartok_to_tok: list[int] = []
+    tok_start_to_chartok: list[int] = []
+    tok_end_to_chartok: list[int] = []
+    char_cnt = 0
+    for i, token in enumerate(para_tokens):
+        new_token = token.replace(SPIECE_UNDERLINE, " ")
+        chartok_to_tok.extend([i] * len(new_token))
+        tok_start_to_chartok.append(char_cnt)
+        char_cnt += len(new_token)
+        tok_end_to_chartok.append(char_cnt - 1)
+    tok_cat_text = "".join(para_tokens).replace(SPIECE_UNDERLINE, " ")
+    al = lcs_alignment(paragraph_text, tok_cat_text, match_fn)
+    if al is None:
+        return None
+    _, chartok_to_orig = al
+    n = len(paragraph_text)
+    starts, ends = [], []
+    for i in range(len(para_tokens)):
+        starts.append(convert_index(chartok_to_orig,
+                                    tok_start_to_chartok[i], n,
+                                    is_start=True))
+        ends.append(convert_index(chartok_to_orig, tok_end_to_chartok[i], n,
+                                  is_start=False))
+    return starts, ends

@@ -229,3 +229,45 @@ def test_scaled_int64_half_away_from_zero_matches_duckdb():
         params={"v": vals}).fetchall()]
     assert got_pa == want
     assert got_np == want
+
+
+def test_lcs_alignment_sentencepiece_roundtrip():
+    """Token→orig maps through the banded LCS (mrc_utils.py:116-244
+    restatement): a SentencePiece-style tokenization (underline markers,
+    accent-stripped chars) maps every token back to its exact original
+    span, so text[start:end+1] recovers the surface."""
+    from knowledgeextraction_ray.functions.alignment import (
+        token_to_orig_maps)
+    text = "Héllo wörld of tokens"
+    # what an accent-stripping sentencepiece model would emit
+    tokens = ["▁He", "llo", "▁wor", "ld", "▁of", "▁to", "kens"]
+    starts, ends = token_to_orig_maps(tokens, text)
+    # the span of a full word reassembles exactly
+    assert text[starts[0]:ends[1] + 1] == "Héllo"
+    assert text[starts[2]:ends[3] + 1].strip() == "wörld"
+    assert text[starts[5]:ends[6] + 1].strip() == "tokens"
+
+
+def test_lcs_alignment_mismatch_returns_none():
+    """The reference's MISMATCH bail-out: unrelated texts (LCS < 0.8 n)
+    yield no alignment → caller emits zero features."""
+    from knowledgeextraction_ray.functions.alignment import (
+        lcs_alignment, token_to_orig_maps)
+    assert lcs_alignment("abcdefghij", "zzzzzzzzzz") is None
+    assert token_to_orig_maps(["▁totally", "▁different"],
+                              "0123456789012345678") is None
+    assert lcs_alignment("", "x") is None
+
+
+def test_convert_index_reference_semantics():
+    """_convert_index parity (mrc_utils.py:43-76): unaligned positions
+    resolve to nearest aligned neighbors with start/end asymmetry."""
+    from knowledgeextraction_ray.functions.alignment import convert_index
+    idx = [None, 3, None, None, 7, None]
+    assert convert_index(idx, 1) == 3
+    assert convert_index(idx, 0, is_start=True) == 0      # front missing
+    assert convert_index(idx, 0, is_start=False) == 2     # rear-1
+    assert convert_index(idx, 2, is_start=True) == 4      # gap: front+1
+    assert convert_index(idx, 2, is_start=False) == 6     # gap: rear-1
+    assert convert_index(idx, 5, m=10, is_start=True) == 8
+    assert convert_index(idx, 5, m=10, is_start=False) == 9
