@@ -196,8 +196,35 @@ select doc_id,
 from ded where pm is null or m != pm
 """
 
+SQL_EVENTS_ASOF = """
+with l as (select event_id, user_id, ts from events
+           where event_type = 'purchase'),
+r0 as (select user_id, ts, max(event_id) as view_id from events
+       where event_type = 'view' group by 1, 2),
+j as (select l.event_id, l.user_id, l.ts, r0.view_id, r0.ts as vts
+      from l asof left join r0
+        on l.user_id = r0.user_id and l.ts >= r0.ts)
+select event_id, user_id,
+       coalesce(view_id, -1) as matched_event_id,
+       coalesce(cast(date_diff('microsecond', vts, ts) as bigint), -1)
+         as lag_us
+from j
+"""
+
+SQL_EVENTS_RANGE_COUNT = """
+with l as (select event_id, user_id, ts from events
+           where event_type = 'purchase'),
+r as (select user_id, ts from events where event_type = 'view')
+select l.event_id, l.user_id, cast(count(r.ts) as bigint) as n_views_1h
+from l left join r on r.user_id = l.user_id
+   and r.ts between l.ts - interval 1 hour and l.ts
+group by 1, 2
+"""
+
 TABLE_ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_quality": SQL_DOC_QUALITY,

@@ -193,6 +193,27 @@ def q_events_window(sf_dir: str):
                                                     "value"]))
 
 
+def _events(sf_dir: str, columns):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def q_events_asof(sf_dir: str):
+    """As-of attribution: purchase → most recent view at-or-before it per
+    user (custom operator; DuckDB ASOF LEFT JOIN oracle)."""
+    from ..stages.eventjoins import purchase_view_attribution
+    return purchase_view_attribution(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]))
+
+
+def q_events_range_count(sf_dir: str):
+    """Interval range count: views per purchase in [ts-1h, ts], as a
+    difference of two as-of lookups (no interval join)."""
+    from ..stages.eventjoins import purchase_view_window_count
+    return purchase_view_window_count(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]))
+
+
 def q_events_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -344,6 +365,8 @@ TABLE_QUERIES = {
     "vocab_from_corpus": q_vocab_from_corpus,
     "doc_normalize": q_doc_normalize,
     "doc_fingerprint": q_doc_fingerprint,
+    "events_asof": q_events_asof,
+    "events_range_count": q_events_range_count,
 }
 
 def q_ner_eval_prf(sf_dir: str):

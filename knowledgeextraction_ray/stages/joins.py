@@ -105,6 +105,86 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32,
                                                   batch_format="pandas")
 
 
+def asof_join(left, right, by: str, on: str, num_buckets: int = 32,
+              direction: str = "backward"):
+    """Event-time AS-OF join (DuckDB ``ASOF LEFT JOIN`` semantics): each
+    left row matches the single right row with the greatest ``on`` value
+    ≤ its own (``direction="backward"``) sharing the ``by`` key.
+
+    Ray Data has no as-of join; the partitioning assumption is the usual
+    one — co-locate by ``hash(by) % B`` (one shuffle per side), then the
+    in-bucket match is pandas ``merge_asof`` (a vectorized sorted merge).
+    Right-side ``on`` ties must be pre-deduplicated by the caller for a
+    deterministic match (mirror any dedup in the oracle). Unmatched left
+    rows keep nulls in the right columns (left-join semantics). Column
+    collisions other than ``by``/``on`` are the caller's to rename."""
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
+    r_only = [c for c in r_cols if c not in (by, on)]
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[by].to_numpy(zero_copy_only=False)
+            b = (keys.astype(np.int64) % num_buckets).astype(np.int32) \
+                if np.issubdtype(keys.dtype, np.integer) else \
+                (stable_hash64([str(k) for k in keys]) % num_buckets
+                 ).astype(np.int32)
+            batch = batch.append_column("__bucket", pa.array(b))
+            return batch.append_column("__side",
+                                       pa.array([side] * len(batch)))
+        return fn
+
+    def _restore_ints(df: pd.DataFrame, types) -> pd.DataFrame:
+        # null-padding across the union upcast int columns to float64;
+        # once a side is filtered back out its columns are null-free
+        for c in df.columns:
+            if c in types and pa.types.is_integer(types[c]) and \
+                    df[c].dtype == np.float64:
+                df[c] = df[c].astype("int64")
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = _restore_ints(g[g["__side"] == "L"][l_cols].copy(), l_types) \
+            .sort_values(on, kind="mergesort")
+        rg = _restore_ints(g[g["__side"] == "R"][r_cols].copy(), r_types) \
+            .sort_values(on, kind="mergesort")
+        if len(rg) == 0:
+            out = lg.copy()
+            for c in r_only:
+                out[c] = None
+            return out
+        return pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
+
+    # union needs a common schema: null-pad each side with the other's
+    # columns AT THEIR REAL TYPES (a typeless null column breaks the union)
+    def _types(ds) -> dict:
+        sch = ds.schema()
+        return {n: (t if isinstance(t, pa.DataType) else
+                    pa.from_numpy_dtype(t))
+                for n, t in zip(sch.names, sch.types)}
+
+    l_types, r_types = _types(left), _types(right)
+
+    def pad(cols, types, order):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in cols:
+                batch = batch.append_column(
+                    c, pa.nulls(len(batch), type=types[c]))
+            return batch.select(order)
+        return fn
+
+    order = sorted(set(l_cols + r_cols)) + ["__bucket", "__side"]
+    l_tagged = left.map_batches(tag("L"), batch_format="pyarrow") \
+        .map_batches(pad([c for c in r_cols if c not in l_cols], r_types,
+                         order), batch_format="pyarrow")
+    r_tagged = right.map_batches(tag("R"), batch_format="pyarrow") \
+        .map_batches(pad([c for c in l_cols if c not in r_cols], l_types,
+                         order), batch_format="pyarrow")
+    return (l_tagged.union(r_tagged)
+            .groupby("__bucket")
+            .map_groups(merge, batch_format="pandas"))
+
+
 _KEYSET_CACHE: dict[str, pa.Array] = {}
 
 

@@ -396,3 +396,30 @@ def test_nre_serving_predict_shape():
     assert len(out) == 1
     rel, score = out[0]
     assert rel == "calls" and 0.5 <= score < 1.0
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    """Generic as-of operator ≡ a single global pandas merge_asof
+    (bucketing by key is a partition of the key space)."""
+    rs = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "k": rs.randint(0, 6, 80),
+        "t": rs.randint(0, 1000, 80).astype("int64"),
+        "lval": np.arange(80),
+    }).drop_duplicates(["k", "t"])
+    right = pd.DataFrame({
+        "k": rs.randint(0, 6, 60),
+        "t": rs.randint(0, 1000, 60).astype("int64"),
+        "rval": np.arange(60) * 10,
+    }).drop_duplicates(["k", "t"])
+    from knowledgeextraction_ray.stages.joins import asof_join
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     by="k", on="t", num_buckets=4).to_pandas()
+           .sort_values(["k", "t"]).reset_index(drop=True))
+    want = (pd.merge_asof(left.sort_values("t", kind="mergesort"),
+                          right.sort_values("t", kind="mergesort"),
+                          on="t", by="k")
+            .sort_values(["k", "t"]).reset_index(drop=True))
+    cols = ["k", "t", "lval", "rval"]
+    pd.testing.assert_frame_equal(got[cols].astype({"rval": "float64"}),
+                                  want[cols].astype({"rval": "float64"}))
