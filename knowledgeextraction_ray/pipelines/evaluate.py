@@ -85,12 +85,49 @@ def _count_partials(batch: pa.Table) -> pa.Table:
 
 
 def ner_eval(sf_dir: str, cfg: PipelineConfig | None = None,
-             corrupt_frac: float = 0.0) -> pd.DataFrame:
-    """→ one-row DataFrame: chunk counts + accuracy/precision/recall/f1."""
+             corrupt_frac: float = 0.0, mode: str = "fused") -> pd.DataFrame:
+    """→ one-row DataFrame: chunk counts + accuracy/precision/recall/f1.
+
+    ``mode="fused"`` (default): gold and pred tags both derive from the
+    SAME scored-segment row, so the chunk counting happens inside one
+    ``map_batches`` pass — zero joins, zero extra pools, one tiny final
+    aggregate. ``mode="join"`` keeps the two-branch keyed-join formulation
+    (the reference §3.3 parity demo — its positional zip restated as an
+    explicit guid join); both modes are equality-tested."""
     import dataclasses
 
     from ray.data.aggregate import Sum
     cfg = cfg or PipelineConfig()
+    if mode == "fused":
+        scored = score_dataset(
+            segment_dataset(read_corpus(sf_dir), cfg.segment),
+            cfg.scorer, cfg.segment)
+        gold_tagger = GoldTagger()
+
+        def count_batch(batch: pa.Table) -> pa.Table:
+            gold = gold_tagger(batch)["gold_tags"].to_pylist()
+            pred = _pred_tags(batch, corrupt_frac)["pred_tags"].to_pylist()
+            cc = ChunkCounts()
+            for g, p in zip(gold, pred):
+                cc.update(g.split("\x1f") if g else [],
+                          p.split("\x1f") if p else [])
+            return pa.Table.from_pydict({k: [v]
+                                         for k, v in cc.as_row().items()})
+
+        partials = scored.map_batches(count_batch, batch_format="pyarrow",
+                                      batch_size=None)
+        agg = partials.aggregate(
+            Sum("correct_chunks", alias_name="correct_chunks"),
+            Sum("gold_chunks", alias_name="gold_chunks"),
+            Sum("pred_chunks", alias_name="pred_chunks"),
+            Sum("correct_tags", alias_name="correct_tags"),
+            Sum("total_tags", alias_name="total_tags"))
+        cc = ChunkCounts(**{k: int(agg[k]) for k in agg})
+        m = cc.metrics()
+        return pd.DataFrame([{**cc.as_row(),
+                              "accuracy": m["accuracy"],
+                              "precision": m["precision"],
+                              "recall": m["recall"], "f1": m["f1"]}])
     # fractional-CPU pools: this pipeline runs TWO actor pools plus the
     # join's aggregator actors concurrently — full-CPU reservations starve
     # the read stages in small sessions (4-CPU test fixture) and deadlock.

@@ -423,3 +423,13 @@ def test_asof_join_matches_pandas_merge_asof():
     cols = ["k", "t", "lval", "rval"]
     pd.testing.assert_frame_equal(got[cols].astype({"rval": "float64"}),
                                   want[cols].astype({"rval": "float64"}))
+
+
+def test_ner_eval_fused_equals_join(corpus_ready):
+    """Counts-without-join fast path ≡ the keyed-join formulation, with and
+    without corruption."""
+    from knowledgeextraction_ray.pipelines.evaluate import ner_eval
+    for frac in (0.0, 0.3):
+        a = ner_eval(corpus_ready, corrupt_frac=frac, mode="fused").iloc[0]
+        b = ner_eval(corpus_ready, corrupt_frac=frac, mode="join").iloc[0]
+        assert dict(a) == dict(b)
