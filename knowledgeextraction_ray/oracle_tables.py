@@ -10,8 +10,8 @@ both sides is RE2 (pyarrow and DuckDB), so regex counts agree exactly.
 
 from __future__ import annotations
 
-from .stages.text_analysis import (LANG_MARKERS, PUNCT_RE, STOPWORD_RE,
-                                   TOKEN_RE)
+from .stages.text_analysis import (BPE_TOKEN_RE, LANG_MARKERS, PUNCT_RE,
+                                   STOPWORD_RE, TOKEN_RE)
 
 SQL_DOC_EXACT_DEDUP = """
 select sha256(text) as text_sha, min(doc_id) as rep_doc_id,
@@ -221,10 +221,35 @@ from l left join r on r.user_id = l.user_id
 group by 1, 2
 """
 
+SQL_DOC_TOKEN_COUNT_BPE = f"""
+select doc_id,
+       cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint)
+         as n_tokens,
+       cast(len(regexp_extract_all(text,
+            '{BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}')) as bigint)
+         as n_bpe_tokens
+from documents
+"""
+
+SQL_EMBEDDING_CENTROIDS = """
+with u as (
+  select label, unnest(embedding) as v, unnest(range(len(embedding))) as dim
+  from embeddings)
+select label, cast(dim as bigint) as dim,
+       count(*) as n_vecs,
+       cast(sum(cast(round(cast(v as double) * 1000000, 0) as bigint))
+            as bigint) as sum_e6,
+       round(cast(sum(cast(round(cast(v as double) * 1000000, 0) as bigint))
+                  as bigint) / count(*) / 1000000.0, 6) as centroid
+from u group by 1, 2
+"""
+
 TABLE_ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
+    "doc_token_count_bpe": SQL_DOC_TOKEN_COUNT_BPE,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_quality": SQL_DOC_QUALITY,

@@ -158,6 +158,23 @@ def q_doc_token_count(sf_dir: str):
         token_count_batch, batch_format="pyarrow")
 
 
+def q_doc_token_count_bpe(sf_dir: str):
+    """Whitespace-ish + BPE-ish (GPT-2 pretokenizer classes) token counts
+    per document — both RE2 kernels, SQL-gated."""
+    from ..stages.text_analysis import bpe_token_count_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow")
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-(label, dim) vector centroid as an exact scaled-int aggregate."""
+    import ray.data as rd
+
+    from ..stages.vectorops import label_centroids
+    return label_centroids(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                           columns=["label", "embedding"]))
+
+
 def q_doc_quality(sf_dir: str):
     from ..stages.text_analysis import quality_batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -367,6 +384,8 @@ TABLE_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "events_asof": q_events_asof,
     "events_range_count": q_events_range_count,
+    "doc_token_count_bpe": q_doc_token_count_bpe,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 def q_ner_eval_prf(sf_dir: str):

@@ -15,6 +15,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
+# GPT-2-style pretokenizer classes (contractions, letter runs, digit runs,
+# punctuation runs, whitespace) restricted to the RE2 subset both engines
+# share — the "BPE-ish" token count of a training-data pipeline
+BPE_TOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
 PUNCT_RE = r"[.,;:!?]"
 STOPWORD_RE = r"\b(the|a|of|and|to|in|is)\b"
 
@@ -35,6 +40,14 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict({
         "doc_id": batch["doc_id"],
         "n_tokens": _count(batch["text"], TOKEN_RE),
+    })
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "doc_id": batch["doc_id"],
+        "n_tokens": _count(batch["text"], TOKEN_RE),
+        "n_bpe_tokens": _count(batch["text"], BPE_TOKEN_RE),
     })
 
 
