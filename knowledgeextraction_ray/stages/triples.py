@@ -21,6 +21,7 @@ dedup (``mrc_utils.py:397-415``) restated as a keyed aggregation.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -75,47 +76,63 @@ class EmitTriples:
         self.obj_col = obj_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        repos = batch["repo"].to_pylist()
-        paths = batch["path"].to_pylist()
-        commits = batch["commit"].to_pylist()
-        shas = batch["content_sha256"].to_pylist()
-        labels = batch["label"].to_pylist()
-        norms = batch["surface_norm"].to_pylist()
-        ents = batch["entity_id"].to_pylist()
-        cobs = batch[self.obj_col].to_pylist() if self.obj_col else None
-        acc: dict[tuple, list] = {}
-        for i, (repo, path, commit, sha, label, norm, ent) in enumerate(zip(
-                repos, paths, commits, shas, labels, norms, ents)):
-            subj = f"{repo}:{path}"
-            if self.skip is not None and subj in self.skip:
-                continue
-            if self.only is not None and subj not in self.only:
-                continue
-            pred = PREDICATES[label]
-            if cobs is not None:
-                obj = cobs[i] if cobs[i] is not None else ent
-            else:
-                obj = self.canonical.get(norm, ent)
-            key = (subj, pred, obj)
-            cur = acc.get(key)
-            if cur is None:
-                acc[key] = [repo, path, commit, sha, 1]
-            else:
-                # deterministic representative: min (commit, sha)
-                if (commit, sha) < (cur[2], cur[3]):
-                    cur[0], cur[1], cur[2], cur[3] = repo, path, commit, sha
-                cur[4] += 1
-        keys = list(acc.keys())
-        return pa.Table.from_pydict({
-            "subj": [k[0] for k in keys],
-            "pred": [k[1] for k in keys],
-            "obj": [k[2] for k in keys],
-            "repo": [acc[k][0] for k in keys],
-            "path": [acc[k][1] for k in keys],
-            "commit": [acc[k][2] for k in keys],
-            "content_sha256": [acc[k][3] for k in keys],
-            "n_mentions": [acc[k][4] for k in keys],
-        }, schema=TRIPLE_SCHEMA)
+        """Fully vectorized emit+combine: string concat / set membership /
+        label map are Arrow or factorized-numpy kernels; the in-batch
+        pre-dedup is one pandas hash groupby. Per-column min provenance is
+        exact because a triple key's provenance is constant within its subj
+        (the subj ENCODES the file — same argument as ``_dedup_pdf``). The
+        per-row Python loop this replaces was the dominant stage at the 2M-
+        file scale (~32 s of the flagship)."""
+        import pandas as pd
+        import pyarrow.compute as pc
+        subj = pc.binary_join_element_wise(batch["repo"], batch["path"],
+                                           ":")
+        if self.skip is not None:
+            mask = pc.invert(pc.is_in(
+                subj, value_set=pa.array(sorted(self.skip))))
+            batch = batch.filter(mask)
+            subj = subj.filter(mask)
+        if self.only is not None:
+            mask = pc.is_in(subj, value_set=pa.array(sorted(self.only)))
+            batch = batch.filter(mask)
+            subj = subj.filter(mask)
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {n: [] for n in TRIPLE_SCHEMA.names}, schema=TRIPLE_SCHEMA)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        lab_u, lab_codes = np.unique(labels, return_inverse=True)
+        pred = np.array([PREDICATES[l] for l in lab_u],
+                        dtype=object)[lab_codes]
+        ents = batch["entity_id"].to_numpy(zero_copy_only=False)
+        if self.obj_col:
+            cobs = batch[self.obj_col].to_numpy(zero_copy_only=False)
+            obj = np.where(pd.isna(cobs), ents, cobs)
+        else:
+            norms = batch["surface_norm"].to_numpy(zero_copy_only=False)
+            norm_u, norm_codes = np.unique(norms, return_inverse=True)
+            mapped = np.array([self.canonical.get(u) for u in norm_u],
+                              dtype=object)[norm_codes]
+            obj = np.where(pd.isna(mapped), ents, mapped)
+        df = pd.DataFrame({
+            "subj": subj.to_numpy(zero_copy_only=False), "pred": pred,
+            "obj": obj,
+            "repo": batch["repo"].to_numpy(zero_copy_only=False),
+            "path": batch["path"].to_numpy(zero_copy_only=False),
+            "commit": batch["commit"].to_numpy(zero_copy_only=False),
+            "content_sha256":
+                batch["content_sha256"].to_numpy(zero_copy_only=False),
+        })
+        # "first" not "min": provenance is CONSTANT within a subj, so they
+        # agree — and pandas string "min" per group drops into a pure-Python
+        # series loop (measured 9 s/84k mentions) while "first" is cython
+        out = (df.groupby(["subj", "pred", "obj"], sort=False)
+               .agg(repo=("repo", "first"), path=("path", "first"),
+                    commit=("commit", "first"),
+                    content_sha256=("content_sha256", "first"),
+                    n_mentions=("repo", "size"))
+               .reset_index())
+        return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA,
+                                    preserve_index=False)
 
 
 def _add_dedup_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
