@@ -55,28 +55,43 @@ class PartialCanonical:
         self.num_salts = num_salts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        norms = batch["surface_norm"].to_pylist()
-        ents = batch["entity_id"].to_pylist()
-        priors = batch["prior"].to_pylist()
-        guids = batch["guid"].to_pylist()
-        acc: dict[str, list] = {}
-        for norm, ent, prior in zip(norms, ents, priors):
-            key = encode_best(prior, ent)
-            cur = acc.get(norm)
-            if cur is None:
-                acc[norm] = [key, 1]
-            else:
-                if key < cur[0]:
-                    cur[0] = key
-                cur[1] += 1
+        """Vectorized partial: the per-row argmin runs on an int64 composite
+        ``round((1-prior)·10⁶)·K + rank(entity)`` whose numeric order equals
+        :func:`encode_best`'s string order (the fixed-width "0.xxxxxx"
+        format makes numeric and lexicographic order coincide; entity rank
+        breaks ties ascending), so one cython ``idxmin`` picks each
+        surface's best row and the strings are formatted only for the
+        REDUCED rows — one per distinct surface per batch, not per mention
+        (the per-row Python fold was a full-stream Python stage)."""
+        import numpy as np
+        import pandas as pd
+        n = len(batch)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {f.name: [] for f in PARTIAL_SCHEMA}, schema=PARTIAL_SCHEMA)
+        norms = batch["surface_norm"].to_numpy(zero_copy_only=False)
+        ents = batch["entity_id"].to_numpy(zero_copy_only=False)
+        priors = batch["prior"].to_numpy()
+        norm_codes, norm_uniq = pd.factorize(norms)
+        ent_codes, ent_uniq = pd.factorize(ents)
+        order = np.argsort(ent_uniq)
+        rank = np.empty(len(ent_uniq), dtype=np.int64)
+        rank[order] = np.arange(len(ent_uniq))
+        inv_e6 = np.round((1.0 - priors) * 1e6).astype(np.int64)
+        comp = inv_e6 * np.int64(len(ent_uniq) + 1) + rank[ent_codes]
+        best_idx = (pd.Series(comp).groupby(norm_codes).idxmin()
+                    .to_numpy())                  # row index per norm code
+        counts = np.bincount(norm_codes, minlength=len(norm_uniq))
         # content-derived salt: deterministic for a given batch, spreads hot
         # keys across reduce groups; final merge is salt-invariant.
-        salt = int(stable_hash64([guids[0]])[0] % self.num_salts) if guids else 0
+        salt = int(stable_hash64([batch["guid"][0].as_py()])[0]
+                   % self.num_salts)
         return pa.Table.from_pydict({
-            "surface_norm": list(acc.keys()),
-            "salt": [salt] * len(acc),
-            "best_key": [v[0] for v in acc.values()],
-            "n_mentions": [v[1] for v in acc.values()],
+            "surface_norm": list(norm_uniq),
+            "salt": [salt] * len(norm_uniq),
+            "best_key": [encode_best(float(priors[i]), ents[i])
+                         for i in best_idx],
+            "n_mentions": counts.astype("int64").tolist(),
         }, schema=PARTIAL_SCHEMA)
 
 
