@@ -128,6 +128,10 @@ def run_scaling() -> dict:
     a fixed DRAM bandwidth + object-store budget across 4× the workers
     (this node ceilings near ~200k triples/s), a contention a 4× multi-node
     cluster does not share; it is reported alongside for transparency."""
+    # ladder corpus: sf0.8 keeps per-level work above the ~9 s fixed
+    # session/pool constant while staying below this box's object-store
+    # pressure point — an sf2.0 ladder measured STORAGE contention, not CPU
+    # scaling (its 32-CPU level ran 113 s vs 64 s standalone)
     scaling_dir = os.environ.get("GRAFT_SCALING_SF_DIR",
                                  "/tmp/kgray_virtual/sf0.8")
 
