@@ -50,17 +50,15 @@ def mrc_process(query_list: list[dict],
     ``null_threshold=None`` mirrors the server path (``mrc_albert.py``
     calls ``get_predictions_v2`` with ``null_score_diff_threshold=None``)."""
     assert type(query_list) == list
-    from ..stages.mrc import (MrcSpanScorer, QTYPE_OF, explode_features,
-                              nbest_merge)
+    from ..stages.mrc import MrcWindowScorer, QTYPE_OF, nbest_merge
     rows = [{"example_id": q["qas_id"], "question": q["question"],
              "context": q["context"]} for q in query_list]
     for q in rows:
         if q["question"] not in QTYPE_OF:
             raise ValueError(f"unknown question prompt: {q['question']!r}")
-    feats = rd.from_items(rows).map_batches(explode_features,
-                                            batch_format="pyarrow")
-    scored = feats.map_batches(MrcSpanScorer, batch_format="pyarrow",
-                               concurrency=(1, 2))
+    scored = rd.from_items(rows).map_batches(MrcWindowScorer,
+                                             batch_format="pyarrow",
+                                             concurrency=(1, 2))
     merged = nbest_merge(scored, null_threshold=null_threshold).to_pandas()
     by_id = merged.set_index("example_id")
     out = []

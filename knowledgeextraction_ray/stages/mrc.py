@@ -9,9 +9,24 @@ sort desc, dedup by answer text (first-wins in score order — kept
 deterministic here by a total (score, start, end) order), softmax over the
 kept scores, averaged cls logit as the no-answer odds.
 
-Here: explode → actor-pool score → bucketed group merge. The merge groups on
-``hash(example_id) % B`` and runs a vectorized pandas groupby inside each
-bucket, so the per-example Python work never becomes a per-group task.
+Candidate semantics mirror the reference's GLOBAL tokenization: the doc is
+tokenized once and every sliding window is a view over that one token
+sequence (``mrc_utils.py:232-270``), so stand-in candidates are grammar
+matches over the FULL context, each scored only inside the windows that
+fully contain it and emitted only by the window that owns its start
+position (``_check_is_max_context``, ``mrc_utils.py:80-114``).
+
+Two execution shapes over one shared kernel (``_feature_rows``):
+
+- **staged** (``build_examples`` → ``MrcWindowScorer`` → ``nbest_merge``):
+  feature-level prediction rows cross the cluster and fan back in through a
+  bucketed group merge — the shape a giant-context corpus needs, and the
+  J4/G1 demo.
+- **fused** (``MrcFusedScorer``): when one example's windows fit in a
+  worker (any bounded-document corpus), the fan-out is generated locally,
+  so the fan-in is local too — the whole pipeline is ONE actor-pool
+  map_batches with zero shuffle. This is the default; the test suite pins
+  fused ≡ staged row-for-row.
 """
 
 from __future__ import annotations
@@ -35,6 +50,26 @@ QUESTIONS = {
 }
 QTYPE_OF = {q: t for t, q in QUESTIONS.items()}
 
+FEATURE_SCHEMA = pa.schema([
+    ("example_id", pa.string()),
+    ("doc_span_index", pa.int64()),
+    ("span_start", pa.int64()),
+    ("cand_start", pa.int64()),
+    ("cand_end", pa.int64()),
+    ("start_log_prob", pa.float64()),
+    ("end_log_prob", pa.float64()),
+    ("cls_logit", pa.float64()),
+    ("answer_text", pa.string()),
+])
+
+NBEST_SCHEMA = pa.schema([
+    ("example_id", pa.string()),
+    ("entities", pa.list_(pa.string())),
+    ("probabilities", pa.list_(pa.float64())),
+    ("na_prob", pa.float64()),
+    ("final_answer", pa.string()),
+])
+
 
 def build_examples(batch: pa.Table) -> pa.Table:
     """corpus batch → MRC examples: one (file × question) per type."""
@@ -51,28 +86,6 @@ def build_examples(batch: pa.Table) -> pa.Table:
 
 def window_starts(ctx_len: int, max_span: int, stride: int) -> list[int]:
     return list(range(0, max(1, ctx_len - max_span + stride), stride))
-
-
-def explode_features(batch: pa.Table, max_span: int = 200,
-                     stride: int = 100) -> pa.Table:
-    """example → sliding-window doc-span features (M11 analog).
-
-    Char-level, so the reference's tok↔orig index maps are identity; the
-    window bookkeeping (span_start, doc_span_index, ctx_len for the
-    max-context check) is kept exactly."""
-    out = {"example_id": [], "question": [], "doc_span_index": [],
-           "span_start": [], "span_text": [], "ctx_len": []}
-    for ex, q, ctx in zip(batch["example_id"].to_pylist(),
-                          batch["question"].to_pylist(),
-                          batch["context"].to_pylist()):
-        for i, s in enumerate(window_starts(len(ctx), max_span, stride)):
-            out["example_id"].append(ex)
-            out["question"].append(q)
-            out["doc_span_index"].append(i)
-            out["span_start"].append(s)
-            out["span_text"].append(ctx[s:s + max_span])
-            out["ctx_len"].append(len(ctx))
-    return pa.Table.from_pydict(out)
 
 
 def char_is_max_context(starts: list[int], lengths: list[int],
@@ -93,23 +106,136 @@ def char_is_max_context(starts: list[int], lengths: list[int],
     return cur_index == best_i
 
 
-class MrcSpanScorer:
-    """Actor: per-feature candidate spans with deterministic log-probs.
+def _feature_rows(example_ids: list[str], qtypes: list[str],
+                  contexts: list[str], patterns: dict[str, re.Pattern],
+                  n_top: int, max_span: int, stride: int) -> pd.DataFrame:
+    """Vectorized feature-level prediction rows for a batch of examples.
+
+    Per example: one grammar ``finditer`` over the full context (the only
+    per-row Python — regex is C); every window/ownership/rank decision is
+    numpy over the batch's flat match list:
+
+    - a window *contains* a match iff the full match span fits inside it
+      (global-tokenization semantics — a window never sees a truncated
+      candidate);
+    - per-window rank = position order among contained matches, beam-capped
+      at ``n_top`` (T2, ``mrc_albert.py:63-65``), log-probs decay with rank;
+    - a candidate row is emitted only by the max-context owner of its start
+      (tie → lowest window index, as ``_check_is_max_context``);
+    - every (example, window) emits exactly ONE cls row (``cand_start=-1``)
+      whether or not it has candidates — ``accumulate_predictions_v2``
+      records cls_logits per feature independently of candidate filtering,
+      so na_prob is a mean over FEATURES, not candidates.
+    """
+    E = len(example_ids)
+    S, T = max_span, stride
+    if E == 0:
+        return pd.DataFrame({f.name: pd.Series([], dtype=object)
+                             for f in FEATURE_SCHEMA})
+    L = np.fromiter((len(c) for c in contexts), np.int64, E)
+    n_win = (np.maximum(1, L - S + T) + T - 1) // T
+
+    m_ex: list[int] = []
+    m_span: list[tuple[int, int, int, int]] = []
+    m_text: list[str] = []
+    for e in range(E):
+        pat = patterns[qtypes[e]]
+        for m in pat.finditer(contexts[e]):
+            m_ex.append(e)
+            m_span.append((m.start(), m.end(), m.start(1), m.end(1)))
+            m_text.append(m.group(1))
+
+    M = len(m_ex)
+    me = np.asarray(m_ex, np.int64)
+    if M:
+        spans = np.asarray(m_span, np.int64)
+        f_s, f_e = spans[:, 0], spans[:, 1]
+        g_s, g_e = spans[:, 2], spans[:, 3]
+    else:
+        f_s = f_e = g_s = g_e = np.empty(0, np.int64)
+
+    # (match, window) containment pairs: window i holds the match iff
+    # i*T <= f_s and f_e <= i*T + min(S, L - i*T)  ⇔  ceil((f_e-S)/T) <= i
+    # <= floor(f_s/T), clipped to the example's window count.
+    i_hi = np.minimum(f_s // T, n_win[me] - 1) if M else f_s
+    i_lo = np.maximum(0, -((S - f_e) // T)) if M else f_s
+    K = int((i_hi - i_lo).max()) + 1 if M and (i_lo <= i_hi).any() else 0
+    pm_parts, pw_parts = [], []
+    for k in range(K):
+        w = i_hi - k
+        ok = w >= i_lo
+        idx = np.flatnonzero(ok)
+        pm_parts.append(idx)
+        pw_parts.append(w[idx])
+    pm = np.concatenate(pm_parts) if pm_parts else np.empty(0, np.int64)
+    pw = np.concatenate(pw_parts) if pw_parts else np.empty(0, np.int64)
+
+    W_MAX = int(n_win.max())
+    combo = me[pm] * W_MAX + pw
+
+    if len(pm):
+        # max-context owner of each match's start among containing windows
+        st = pw * T
+        ln = np.minimum(S, L[me[pm]] - st)
+        p = g_s[pm]
+        score = np.minimum(p - st, st + ln - 1 - p) + 0.01 * ln
+        srt = np.lexsort((pw, -score, pm))
+        pm_s = pm[srt]
+        first = np.r_[True, pm_s[1:] != pm_s[:-1]]
+        owner = np.full(M, -1, np.int64)
+        owner[pm_s[first]] = pw[srt][first]
+
+        # per-window rank by position (finditer order), then beam cap
+        order = np.lexsort((p, combo))
+        sc = combo[order]
+        run_start = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
+        counts = np.diff(np.r_[run_start, len(sc)])
+        rank = np.empty(len(sc), np.int64)
+        rank[order] = np.arange(len(sc)) - np.repeat(run_start, counts)
+
+        emitted = (pw == owner[pm]) & (rank < n_top)
+    else:
+        emitted = np.empty(0, bool)
+        rank = np.empty(0, np.int64)
+
+    # cls rows: one per (example, window)
+    W_total = int(n_win.sum())
+    e_rep = np.repeat(np.arange(E, dtype=np.int64), n_win)
+    w_rep = np.arange(W_total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_win) - n_win, n_win)
+    has_cand = np.isin(e_rep * W_MAX + w_rep, combo)
+
+    ex_arr = np.asarray(example_ids, dtype=object)
+    pe = pm[emitted]
+    er = rank[emitted]
+    ew = pw[emitted]
+    texts = np.asarray(m_text, dtype=object)[pe] if len(pe) else \
+        np.empty(0, dtype=object)
+    return pd.DataFrame({
+        "example_id": np.concatenate([ex_arr[e_rep], ex_arr[me[pe]]]),
+        "doc_span_index": np.concatenate([w_rep, ew]),
+        "span_start": np.concatenate([w_rep, ew]) * T,
+        "cand_start": np.concatenate([np.full(W_total, -1, np.int64),
+                                      g_s[pe]]),
+        "cand_end": np.concatenate([np.full(W_total, -1, np.int64),
+                                    g_e[pe]]),
+        "start_log_prob": np.concatenate([np.full(W_total, -1e4),
+                                          -0.1 * er]),
+        "end_log_prob": np.concatenate([np.full(W_total, -1e4),
+                                        -0.05 * er]),
+        "cls_logit": np.concatenate([np.where(has_cand, -5.0, 5.0),
+                                     np.zeros(len(pe))]),
+        "answer_text": np.concatenate([np.full(W_total, "", dtype=object),
+                                       texts]),
+    })
+
+
+class MrcWindowScorer:
+    """Actor (staged shape): examples → per-feature candidate/cls rows.
 
     Stand-in for the ALBERT squad-v2 head (start_n_top × end_n_top beam,
-    ``mrc_albert.py:63-65``): candidates are grammar matches inside the span;
-    start/end log-probs decay with intra-span rank.
-
-    Reference-parity details:
-
-    - every feature emits exactly ONE cls row (``cand_start = -1``) whether
-      or not it has candidates — ``accumulate_predictions_v2`` records
-      ``cls_logits`` per feature independently of candidate filtering, so
-      the example's no-answer odds are a mean over FEATURES, not candidates;
-    - a candidate survives only if this window is the max-context owner of
-      its START position (``char_is_max_context``), the reference's
-      ``token_is_max_context`` guard — overlapping windows no longer emit
-      the same span twice with asymmetric context."""
+    ``mrc_albert.py:63-65``) over M11's sliding windows; all bookkeeping in
+    :func:`_feature_rows`."""
 
     def __init__(self, start_n_top: int = 5, max_span: int = 200,
                  stride: int = 100):
@@ -120,44 +246,50 @@ class MrcSpanScorer:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"example_id": [], "doc_span_index": [], "span_start": [],
-               "cand_start": [], "cand_end": [], "start_log_prob": [],
-               "end_log_prob": [], "cls_logit": [], "answer_text": []}
+        qtypes = [QTYPE_OF[q] for q in batch["question"].to_pylist()]
+        df = _feature_rows(batch["example_id"].to_pylist(), qtypes,
+                           batch["context"].to_pylist(), self.patterns,
+                           self.n_top, self.max_span, self.stride)
+        return pa.Table.from_pandas(df, schema=FEATURE_SCHEMA,
+                                    preserve_index=False)
 
-        def emit(ex, dsi, s0, cs, ce, slp, elp, cls, text):
-            out["example_id"].append(ex)
-            out["doc_span_index"].append(dsi)
-            out["span_start"].append(s0)
-            out["cand_start"].append(cs)
-            out["cand_end"].append(ce)
-            out["start_log_prob"].append(slp)
-            out["end_log_prob"].append(elp)
-            out["cls_logit"].append(cls)
-            out["answer_text"].append(text)
 
-        for ex, q, dsi, s0, text, ctx_len in zip(
-                batch["example_id"].to_pylist(),
-                batch["question"].to_pylist(),
-                batch["doc_span_index"].to_pylist(),
-                batch["span_start"].to_pylist(),
-                batch["span_text"].to_pylist(),
-                batch["ctx_len"].to_pylist()):
-            qtype = QTYPE_OF[q]
-            pat = self.patterns[qtype]
-            cands = [(m.span(1)) for m in pat.finditer(text)][: self.n_top]
-            # per-FEATURE cls row, always (reference: cls_dict per feature)
-            emit(ex, dsi, s0, -1, -1, -1e4, -1e4,
-                 5.0 if not cands else -5.0, "")
-            if not cands:
-                continue
-            starts = window_starts(ctx_len, self.max_span, self.stride)
-            lengths = [min(self.max_span, ctx_len - s) for s in starts]
-            for rank, (cs, ce) in enumerate(cands):
-                if not char_is_max_context(starts, lengths, dsi, s0 + cs):
-                    continue
-                emit(ex, dsi, s0, s0 + cs, s0 + ce,    # GLOBAL char offsets
-                     -0.1 * rank, -0.05 * rank, 0.0, text[cs:ce])
-        return pa.Table.from_pydict(out)
+class MrcFusedScorer:
+    """Actor (fused shape): corpus rows → final per-example n-best rows.
+
+    The fan-out (4 questions × k windows per file) is generated inside the
+    actor, so the G1 fan-in runs locally on the batch via the SAME merge
+    kernel the distributed path uses (``_merge_bucket``) — zero shuffle,
+    no feature rows in the object store. Valid whenever one example's
+    windows fit in a worker; the staged path covers the rest."""
+
+    def __init__(self, start_n_top: int = 5, max_span: int = 200,
+                 stride: int = 100, n_best: int = 20,
+                 null_threshold: float | None = 0.0):
+        self.patterns = {t: re.compile(p)
+                         for t, p in MENTION_PATTERNS.items()}
+        self.n_top = start_n_top
+        self.max_span = max_span
+        self.stride = stride
+        self.n_best = n_best
+        self.null_threshold = null_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import sha256_hex
+        example_ids: list[str] = []
+        qtypes: list[str] = []
+        contexts: list[str] = []
+        for content in batch["content"].to_pylist():
+            sha = sha256_hex(content)
+            for qtype in QUESTIONS:
+                example_ids.append(f"{sha}:{qtype}")
+                qtypes.append(qtype)
+                contexts.append(content)
+        df = _feature_rows(example_ids, qtypes, contexts, self.patterns,
+                           self.n_top, self.max_span, self.stride)
+        merged = _merge_bucket(df, self.n_best, self.null_threshold)
+        return pa.Table.from_pandas(merged, schema=NBEST_SCHEMA,
+                                    preserve_index=False)
 
 
 def _softmax(scores: np.ndarray) -> np.ndarray:
@@ -308,16 +440,25 @@ def mrc_answer_f1(nbest_pdf, gold_map: dict[str, set[str]]) -> dict:
 
 
 def mrc_pipeline(corpus_ds, max_span: int = 200, stride: int = 100,
-                 n_best: int = 20, null_threshold: float | None = 0.0):
+                 n_best: int = 20, null_threshold: float | None = 0.0,
+                 mode: str = "fused"):
     """corpus → per-(file × question) n-best entity lists + thresholded
-    final answer."""
+    final answer. ``mode="fused"`` (default) is the single-stage zero-
+    shuffle shape; ``mode="staged"`` is the distributed explode → score →
+    bucketed-merge shape (identical rows, test-pinned)."""
+    from ..runtime import fixed_pool_size, pool_size
+    if mode == "fused":
+        # solo hot-path pool → fixed size (autoscaling ramp halves
+        # effective parallelism on tens-of-seconds jobs; see runtime.py)
+        return corpus_ds.map_batches(
+            MrcFusedScorer,
+            fn_constructor_kwargs={"max_span": max_span, "stride": stride,
+                                   "n_best": n_best,
+                                   "null_threshold": null_threshold},
+            batch_format="pyarrow", concurrency=fixed_pool_size())
     examples = corpus_ds.map_batches(build_examples, batch_format="pyarrow")
-    feats = examples.map_batches(
-        lambda b: explode_features(b, max_span, stride),
-        batch_format="pyarrow")
-    from ..runtime import pool_size
-    scored = feats.map_batches(
-        MrcSpanScorer,
+    scored = examples.map_batches(
+        MrcWindowScorer,
         fn_constructor_kwargs={"max_span": max_span, "stride": stride},
         batch_format="pyarrow", concurrency=(1, pool_size(1.0)))
     return nbest_merge(scored, n_best, null_threshold=null_threshold)

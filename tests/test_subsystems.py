@@ -53,7 +53,7 @@ def test_mrc_nbest_merges_overlapping_windows():
             zip(out["example_id"], out.to_dict("records"))}
     assert set(by_q["FUNC"]["entities"]) == {"alpha", "beta"}
     assert sorted(by_q["CALL"]["entities"]) == ["alpha", "run"]
-    assert by_q["IMPORT"]["entities"] == []   # no imports → n/a
+    assert list(by_q["IMPORT"]["entities"]) == []   # no imports → n/a
     assert by_q["IMPORT"]["na_prob"] > 0      # confident no-answer
     assert by_q["FUNC"]["na_prob"] < 0
     # probabilities are a softmax: sum to 1 over kept entities
@@ -74,6 +74,30 @@ def test_mrc_dedup_first_wins_deterministic():
     m = _merge_example(g, n_best=20)
     assert m["entities"] == ["foo"]          # deduped, best-scoring kept
     assert len(m["probabilities"]) == 1
+
+
+def test_mrc_fused_equals_staged():
+    """The zero-shuffle fused pipeline and the distributed staged
+    (explode → score → bucketed merge) pipeline produce identical rows —
+    shared feature kernel, shared merge kernel."""
+    import numpy as np
+
+    from knowledgeextraction_ray.corpus import generate_files
+    from knowledgeextraction_ray.stages.mrc import mrc_pipeline
+    corpus = generate_files(range(30))
+    a = (mrc_pipeline(rd.from_arrow(corpus), mode="fused").to_pandas()
+         .sort_values("example_id").reset_index(drop=True))
+    b = (mrc_pipeline(rd.from_arrow(corpus), mode="staged").to_pandas()
+         .sort_values("example_id").reset_index(drop=True))
+    assert len(a) == len(b) == 120
+    assert list(a["example_id"]) == list(b["example_id"])
+    assert list(a["na_prob"]) == list(b["na_prob"])
+    assert list(a["final_answer"]) == list(b["final_answer"])
+    for ea, eb in zip(a["entities"], b["entities"]):
+        assert list(ea) == list(eb)
+    for pra, prb in zip(a["probabilities"], b["probabilities"]):
+        assert len(pra) == len(prb)
+        assert np.allclose(pra, prb, atol=1e-12)
 
 
 # --------------------------------------------------------------------------
