@@ -111,30 +111,43 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-state sketcher: seeded (a, b) permutation params built once."""
+    """Actor-state sketcher: seeded (a, b) permutation params built once.
+
+    ``emit_shingles=True`` additionally emits each doc's sorted shingle-hash
+    array (the signature's input, so it costs nothing extra) — the small-
+    corpus path verifies candidate pairs from these instead of re-reading
+    and re-sketching the corpus."""
 
     def __init__(self, num_hashes: int = 128, shingle_k: int = 5,
-                 seed: int = 7):
+                 seed: int = 7, emit_shingles: bool = False):
         rs = np.random.RandomState(seed)
         self.a = rs.randint(1, 1 << 61, size=num_hashes).astype(np.uint64)
         self.b = rs.randint(0, 1 << 61, size=num_hashes).astype(np.uint64)
         self.k = shingle_k
         self.num_hashes = num_hashes
+        self.emit_shingles = emit_shingles
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+        return self._sig_of(_shingle_hashes(text, self.k))
+
+    def _sig_of(self, sh: np.ndarray) -> np.ndarray:
         # (n_shingles, num_hashes) universal hash, min per column
         v = (sh[:, None] * self.a[None, :] + self.b[None, :]) & _MERSENNE
         return v.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]).astype(np.int64)
-        return pa.Table.from_pydict({
+        shs = [_shingle_hashes(t, self.k) for t in texts]
+        sigs = np.stack([self._sig_of(sh) for sh in shs]).astype(np.int64)
+        cols = {
             "doc_id": batch["doc_id"],
             "signature": pa.array(sigs.tolist(),
                                   pa.list_(pa.int64(), self.num_hashes)),
-        })
+        }
+        if self.emit_shingles:
+            cols["shingles"] = pa.array(
+                [sh.astype(np.int64) for sh in shs], pa.list_(pa.int64()))
+        return pa.Table.from_pydict(cols)
 
 
 def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
@@ -250,6 +263,72 @@ def _decode_pair_keys(batch: pa.Table) -> pa.Table:
         "doc_id_a": pa.array(keys >> 31, pa.int64()),
         "doc_id_b": pa.array(keys & ((1 << 31) - 1), pa.int64()),
         "n_bands": batch["n_bands"],
+    })
+
+
+def _band_hash_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n_docs, num_hashes) signature matrix → (n_docs, num_bands) fragment
+    hashes — same polynomial fold as ``_band_rows`` (pair sets must be
+    identical across the driver and distributed shapes)."""
+    n, H = sigs.shape
+    r = H // num_bands
+    frag = sigs.astype(np.uint64).reshape(n, num_bands, r)
+    out = np.zeros((n, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):          # mod-2^64 by design
+        for c in range(r):                    # r is small (e.g. 4)
+            out = out * np.uint64(1_000_003) + frag[:, :, c]
+    return out.astype(np.int64)
+
+
+def _runs_pairs(ids: np.ndarray, run_starts: np.ndarray,
+                run_lengths: np.ndarray, max_bucket: int) -> list:
+    """Pair keys for all equal-hash runs, vectorized by run SIZE class: runs
+    of the same length form a (R, n) id matrix whose triu pairs are emitted
+    in one indexing op — no Python loop over buckets or pairs."""
+    chunks = []
+    for n in np.unique(run_lengths):
+        n = int(n)
+        if n < 2:
+            continue
+        starts = run_starts[run_lengths == n]
+        mat = ids[starts[:, None] + np.arange(n)[None, :]]
+        mat = np.sort(mat, axis=1).astype(np.int64)
+        if n > max_bucket:
+            # star pairs to the min id — linear, preserves components
+            chunks.append((mat[:, :1] * (1 << 31) + mat[:, 1:]).ravel())
+        else:
+            i, j = np.triu_indices(n, k=1)
+            chunks.append((mat[:, i] * (1 << 31) + mat[:, j]).ravel())
+    return chunks
+
+
+def _driver_band_pairs(doc_ids: np.ndarray, sigs: np.ndarray,
+                       num_bands: int, max_bucket: int) -> pa.Table:
+    """Size-guarded driver shape of the LSH bucket → pair step: the band-
+    fragment table for a small corpus is a few MB (docs × bands × 8 B), so
+    one lexsort + run-length pass beats the distributed groupby's fixed
+    sort-shuffle cost by ~10×. Same pair keys / n_bands as the distributed
+    path (test-pinned)."""
+    bh = _band_hash_matrix(sigs, num_bands)
+    chunks = []
+    for b in range(num_bands):
+        col = bh[:, b]
+        order = np.argsort(col, kind="stable")
+        sc = col[order]
+        run_starts = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
+        run_lengths = np.diff(np.r_[run_starts, len(sc)])
+        chunks.extend(_runs_pairs(doc_ids[order], run_starts, run_lengths,
+                                  max_bucket))
+    if not chunks:
+        keys = np.empty(0, np.int64)
+        n_bands_col = np.empty(0, np.int64)
+    else:
+        keys, n_bands_col = np.unique(np.concatenate(chunks),
+                                      return_counts=True)
+    return pa.Table.from_pydict({
+        "doc_id_a": pa.array(keys >> 31, pa.int64()),
+        "doc_id_b": pa.array(keys & ((1 << 31) - 1), pa.int64()),
+        "n_bands": pa.array(n_bands_col.astype(np.int64), pa.int64()),
     })
 
 
@@ -451,18 +530,100 @@ def _cached_component_map(ref) -> dict:
     return m
 
 
+def _slices(tbl: pa.Table, n_chunks: int) -> list:
+    step = max(256, len(tbl) // max(1, n_chunks) + 1)
+    return [tbl.slice(i, step) for i in range(0, max(1, len(tbl)), step)]
+
+
+def _sketch_batch(batch: pa.Table, *, num_hashes: int,
+                  shingle_k: int) -> pa.Table:
+    # per-task hasher: init is a trivial seeded randint, no actor pool
+    return MinHasher(num_hashes=num_hashes, shingle_k=shingle_k,
+                     emit_shingles=True)(batch)
+
+
+_SHINGLE_CACHE: dict[str, dict] = {}
+
+
+def _verify_batch(batch: pa.Table, *, docs_ref, shingle_k: int) -> pa.Table:
+    key = docs_ref.hex()
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        import ray
+        sh = _SHINGLE_CACHE.setdefault(key, ray.get(docs_ref))
+    return VerifyPairs(sh, shingle_k)(batch)
+
+
+def _small_corpus_pairs(ds, num_hashes: int = 128, num_bands: int = 32,
+                        shingle_k: int = 5, max_bucket: int = 1000,
+                        pair_driver_limit: int = 5_000_000):
+    """Small-corpus MinHash-LSH shape: one corpus scan emits (signature,
+    shingles) per doc via TASK-based map_batches over driver-sliced blocks
+    (warm workers — a small corpus is often one block, and both a
+    `repartition` and an actor pool cost ~3 s of fixed spin this path
+    exists to avoid); the band → bucket → pair step is a driver lexsort
+    over the few-MB fragment table (``_driver_band_pairs``); verify reads
+    the already-computed shingle arrays through one broadcast ref. No
+    corpus re-read, no re-sketch, no sort-shuffle. Produces the exact pair
+    set / n_bands / jaccard of the distributed path (test-pinned). Callers
+    size-guard: this materializes the corpus slice + ~1 KB of sketch per
+    doc on the driver."""
+    import ray
+    import ray.data as rd
+
+    from ..runtime import fixed_pool_size
+    pool = fixed_pool_size()
+    docs_tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    sigs_ds = rd.from_arrow(_slices(docs_tbl, pool * 2)).map_batches(
+        _sketch_batch,
+        fn_kwargs={"num_hashes": num_hashes, "shingle_k": shingle_k},
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(sigs_ds.to_arrow_refs()))
+    doc_ids = tbl["doc_id"].to_numpy()
+    sig_np = np.asarray(
+        tbl["signature"].combine_chunks().flatten().to_numpy()
+    ).reshape(len(doc_ids), num_hashes)
+    pair_tbl = _driver_band_pairs(doc_ids, sig_np, num_bands, max_bucket)
+
+    shingle_col = tbl["shingles"].combine_chunks()
+    flat = np.asarray(shingle_col.flatten().to_numpy()).view(np.uint64)
+    offs = shingle_col.offsets.to_numpy()
+    shingles = {int(d): flat[offs[i]:offs[i + 1]]
+                for i, d in enumerate(doc_ids)}
+    ref = ray.put(shingles)
+    return rd.from_arrow(_slices(pair_tbl, pool * 4)).map_batches(
+        _verify_batch,
+        fn_kwargs={"docs_ref": ref, "shingle_k": shingle_k},
+        batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.7, mode: str = "auto",
-                        broadcast_limit: int = 500_000, **kw):
+                        broadcast_limit: int = 500_000,
+                        small_corpus_limit: int = 200_000, **kw):
     """Full MinHash-LSH near-dup: candidates → exact-verify → threshold.
 
-    ``mode``: "auto" verifies via a candidate-bounded broadcast (fast: the
-    shingle sets are cached per actor) and falls back to the bucketed-join
-    verify when candidates exceed ``broadcast_limit``; "join" forces the
-    join path; "broadcast" forces the broadcast path (raises past the
-    limit)."""
+    ``mode``: "auto" takes the single-scan small-corpus shape
+    (``_small_corpus_pairs``) when the input row count is known and under
+    ``small_corpus_limit`` (~1 KB of sketch per doc on the driver), else
+    candidates via the distributed band shuffle with a candidate-bounded
+    broadcast verify, falling back to the bucketed-join verify when
+    candidates exceed ``broadcast_limit``; "join" forces the join path;
+    "broadcast" forces the broadcast path (raises past the limit);
+    "distributed" forces the band shuffle + auto verify."""
     import pyarrow.compute as pc
     import ray
     shingle_k = kw.get("shingle_k", 5)
+    if mode == "auto":
+        try:
+            n = ds.count()
+        except Exception:
+            n = None
+        if n is not None and n <= small_corpus_limit:
+            verified = _small_corpus_pairs(ds, **kw)
+            return verified.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["jaccard"],
+                                                    threshold)),
+                batch_format="pyarrow")
     # materialize: the candidate list is tiny (near-dup density) and has TWO
     # consumers (the id pull for shingling and the verify scan) — lazy, the
     # whole sketch/band/bucket pipeline would execute twice

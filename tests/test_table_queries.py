@@ -77,6 +77,25 @@ def test_minhash_join_verify_equals_broadcast_verify():
     pd.testing.assert_frame_equal(bc, jn)
 
 
+def test_minhash_small_path_equals_distributed():
+    """The single-scan small-corpus shape (driver band lexsort, shingle
+    reuse) must produce the identical verified pair set as both distributed
+    verify shapes."""
+    import pandas as pd
+
+    from knowledgeextraction_ray.stages.dedup import minhash_dedup_pairs
+    rows = _docs_with_dupes()
+    cols = ["doc_id_a", "doc_id_b", "n_bands", "jaccard"]
+
+    def run(mode):
+        return (minhash_dedup_pairs(rd.from_items(rows), threshold=0.7,
+                                    mode=mode).to_pandas()[cols]
+                .sort_values(cols[:2]).reset_index(drop=True))
+    small = run("auto")                   # row count known → small path
+    pd.testing.assert_frame_equal(small, run("join"))
+    pd.testing.assert_frame_equal(small, run("broadcast"))
+
+
 def test_minhash_estimates_jaccard():
     """Signature agreement rate ≈ true shingle Jaccard (property check)."""
     from knowledgeextraction_ray.stages.dedup import (MinHasher,
