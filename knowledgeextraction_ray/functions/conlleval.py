@@ -59,3 +59,62 @@ class ChunkCounts:
                 "pred_chunks": self.pred_chunks,
                 "correct_tags": self.correct_tags,
                 "total_tags": self.total_tags}
+
+
+def _bio_luts(label_list):
+    """label id → (type index, is-B) lookup arrays (0 = O / no type)."""
+    import numpy as np
+    typ = np.zeros(len(label_list), np.int64)
+    isb = np.zeros(len(label_list), bool)
+    types: dict[str, int] = {}
+    for i, lab in enumerate(label_list):
+        if lab == "O" or len(lab) < 2 or lab[-2] != "-":
+            continue
+        t = types.setdefault(lab[:-2], len(types) + 1)
+        typ[i] = t
+        isb[i] = lab.endswith("-B")
+    return typ, isb
+
+
+def chunk_counts_ids(gold, pred, lens, label_list) -> ChunkCounts:
+    """Vectorized :class:`ChunkCounts` over FLAT tag-ID arrays (rows
+    delimited by ``lens``) — the numpy restatement of ``update()`` for the
+    fused eval hot path (a per-tag Python walk over 100M chars dominated
+    the whole eval pipeline). Parity with the per-row ``update()`` is
+    test-pinned, including malformed sequences (I-after-O, type switches).
+
+    Chunk rule (``bio_to_spans``): a chunk starts at ``B`` or at a type
+    change into a non-O tag; it ends before the first position that is not
+    a same-type continuation. A chunk is correct iff gold and pred start
+    the same type at the same position and end together."""
+    import numpy as np
+    gold = np.asarray(gold)
+    pred = np.asarray(pred)
+    lens = np.asarray(lens, np.int64)
+    n_rows = len(lens)
+    total = int(lens.sum())
+    # scatter rows into a separator-padded flat space (one O between rows,
+    # so no chunk or continuation can cross a row boundary)
+    pos = np.arange(total, dtype=np.int64) + \
+        np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    N = total + n_rows
+    g = np.zeros(N, np.int64)
+    p = np.zeros(N, np.int64)
+    g[pos] = gold
+    p[pos] = pred
+    typ_lut, isb_lut = _bio_luts(label_list)
+    tg, tp = typ_lut[g], typ_lut[p]
+    sg = (tg > 0) & (isb_lut[g] | (tg != np.r_[0, tg[:-1]]))
+    sp = (tp > 0) & (isb_lut[p] | (tp != np.r_[0, tp[:-1]]))
+    brk_g = np.r_[np.flatnonzero(sg | (tg == 0)), N]
+    brk_p = np.r_[np.flatnonzero(sp | (tp == 0)), N]
+    common = np.flatnonzero(sg & sp & (tg == tp))
+    eg = brk_g[np.searchsorted(brk_g, common, side="right")]
+    ep = brk_p[np.searchsorted(brk_p, common, side="right")]
+    return ChunkCounts(
+        correct_chunks=int((eg == ep).sum()),
+        gold_chunks=int(sg.sum()),
+        pred_chunks=int(sp.sum()),
+        correct_tags=int((gold == pred).sum()),
+        total_tags=total,
+    )

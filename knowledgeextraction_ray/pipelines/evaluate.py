@@ -84,6 +84,68 @@ def _count_partials(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict({k: [v] for k, v in cc.as_row().items()})
 
 
+class _FusedEvalCount:
+    """Actor: corpus batch → one chunk-count partial row (segment M1-M3 →
+    score A1/A2 → gold grammar tags → conlleval chunk counting, fused).
+
+    Everything stays in tag-ID space: pred ids come zero-copy from the
+    scorer's arrow list column, gold ids are written straight into a flat
+    array in ``spans_to_bio`` order (I over the span then B at start, later
+    patterns overwrite), and the counting is the vectorized
+    ``chunk_counts_ids`` — no label strings, no per-tag Python (the
+    string join/split/walk formulation measured 4× slower end-to-end)."""
+
+    def __init__(self, cfg: PipelineConfig, corrupt_frac: float):
+        import numpy as np  # noqa: F401  (hot path)
+        from ..stages.ner_scorer import LABEL2ID, NerScorer, RuleCharTagModel
+        from ..stages.segmenter import SegmentCorpus
+        self.segment = SegmentCorpus(cfg.segment)
+        self.score = NerScorer(cfg.scorer, cfg.segment)
+        self.patterns = RuleCharTagModel().patterns
+        self.ids = {lab: (LABEL2ID[f"{lab}-B"], LABEL2ID[f"{lab}-I"])
+                    for lab, _ in self.patterns}
+        self.corrupt = corrupt_frac
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.conlleval import chunk_counts_ids
+        scored = self.score(self.segment(batch))
+        texts = scored["text"].to_pylist()
+        col = scored["tag_ids"].combine_chunks()
+        pred = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(col.offsets.to_numpy().astype(np.int64))
+        if self.corrupt > 0:
+            # deterministic per-guid corruption (see _pred_tags)
+            guids = scored["guid"].to_pylist()
+            mask = (stable_hash64(guids) % 1000) < self.corrupt * 1000
+            pred = np.where(np.repeat(mask, lens), 0, pred)
+        gold = np.zeros(len(pred), np.int64)
+        base = np.r_[0, np.cumsum(lens)[:-1]]
+        for r, text in enumerate(texts):
+            o = int(base[r])
+            for lab, pat in self.patterns:
+                b_id, i_id = self.ids[lab]
+                for m in pat.finditer(text):
+                    s, e = m.span(1)
+                    gold[o + s:o + e] = i_id
+                    gold[o + s] = b_id
+        cc = chunk_counts_ids(gold, pred, lens, LABEL_LIST)
+        return pa.Table.from_pydict({k: [v] for k, v in cc.as_row().items()})
+
+
+_EVAL_CACHE: dict = {}
+
+
+def _fused_eval_batch(batch: pa.Table, *, cfg: PipelineConfig,
+                      corrupt_frac: float) -> pa.Table:
+    key = (repr(cfg), corrupt_frac)
+    fe = _EVAL_CACHE.get(key)
+    if fe is None:
+        fe = _EVAL_CACHE.setdefault(key, _FusedEvalCount(cfg, corrupt_frac))
+    return fe(batch)
+
+
 def ner_eval(sf_dir: str, cfg: PipelineConfig | None = None,
              corrupt_frac: float = 0.0, mode: str = "fused") -> pd.DataFrame:
     """→ one-row DataFrame: chunk counts + accuracy/precision/recall/f1.
@@ -99,23 +161,17 @@ def ner_eval(sf_dir: str, cfg: PipelineConfig | None = None,
     from ray.data.aggregate import Sum
     cfg = cfg or PipelineConfig()
     if mode == "fused":
-        scored = score_dataset(
-            segment_dataset(read_corpus(sf_dir), cfg.segment),
-            cfg.scorer, cfg.segment)
-        gold_tagger = GoldTagger()
-
-        def count_batch(batch: pa.Table) -> pa.Table:
-            gold = gold_tagger(batch)["gold_tags"].to_pylist()
-            pred = _pred_tags(batch, corrupt_frac)["pred_tags"].to_pylist()
-            cc = ChunkCounts()
-            for g, p in zip(gold, pred):
-                cc.update(g.split("\x1f") if g else [],
-                          p.split("\x1f") if p else [])
-            return pa.Table.from_pydict({k: [v]
-                                         for k, v in cc.as_row().items()})
-
-        partials = scored.map_batches(count_batch, batch_format="pyarrow",
-                                      batch_size=None)
+        # corpus → segment → score → gold-tag → chunk-count partials, ALL
+        # inside one row-local stage; emitting one partial-count row per
+        # block means nothing but ~5 ints per block ever leaves the stage.
+        # TASK-based (not an actor pool): the fused state is compiled
+        # regexes (~ms to build, cached per worker process), and per-
+        # execution actor-pool creation costs ~3 s that tasks on warm
+        # workers don't pay.
+        partials = read_corpus(sf_dir).map_batches(
+            _fused_eval_batch,
+            fn_kwargs={"cfg": cfg, "corrupt_frac": corrupt_frac},
+            batch_format="pyarrow", batch_size=None)
         agg = partials.aggregate(
             Sum("correct_chunks", alias_name="correct_chunks"),
             Sum("gold_chunks", alias_name="gold_chunks"),

@@ -43,11 +43,13 @@ def _mentions(sf_dir: str):
 
 def q_mentions(sf_dir: str):
     """Mention counts per (file, label, surface) — NER output aggregate.
-    Bucketed (high-cardinality key; see stages/groupagg.py)."""
-    from ..stages.groupagg import bucketed_agg
-    return bucketed_agg(_mentions(sf_dir),
-                        ["repo", "path", "label", "surface"], {},
-                        count_alias="n")
+    The key contains the file identity and mention blocks are
+    file-contiguous, so the count is shuffle-free with straddler repair
+    (``stages/groupagg.file_local_count``); materialized because the
+    boundary scan and the counting scan are two consumers."""
+    from ..stages.groupagg import file_local_count
+    return file_local_count(_mentions(sf_dir).materialize(),
+                            ["repo", "path", "label", "surface"])
 
 
 def q_label_hist(sf_dir: str):

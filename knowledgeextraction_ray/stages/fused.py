@@ -42,17 +42,51 @@ class FusedExtract:
         return link_batch(mentions, self.alias_parquet)
 
 
+_EXTRACT_CACHE: dict = {}
+
+
+def _extract_batch(batch: pa.Table, *, cfg: PipelineConfig,
+                   alias_parquet: str) -> pa.Table:
+    key = (repr(cfg), alias_parquet)
+    fe = _EXTRACT_CACHE.get(key)
+    if fe is None:
+        fe = _EXTRACT_CACHE.setdefault(key, FusedExtract(cfg, alias_parquet))
+    return fe(batch)
+
+
 def fused_linked_mentions(corpus_ds, cfg: PipelineConfig,
-                          alias_parquet: str, share: float = 1.0):
+                          alias_parquet: str, share: float = 1.0,
+                          dispatch: str = "tasks"):
+    """corpus → linked mentions, one fused stage.
+
+    ``dispatch`` (measured on this Ray version, sf0.1 warm session):
+
+    - ``"tasks"`` (default, ``share == 1``): plain ``map_batches`` function
+      with the ``FusedExtract`` state built once per WORKER PROCESS and
+      cached — the stand-in models and the alias table are cheap to build,
+      and a per-execution actor pool costs ~2-3.5 s of creation that warm-
+      worker tasks don't pay (3.3 s → 1.4 s for the whole stage). A real
+      multi-GB encoder (or ``num_gpus`` pinning) needs the ACTOR form —
+      that is what ``dispatch="pool"`` keeps.
+    - ``"pool"``: fixed-size actor pool (no autoscale ramp — safe because
+      this is the only pool in the plan and it leaves a quarter of the node
+      to the read tasks). Forced automatically when ``share < 1``
+      (concurrent wave jobs): each wave gets an AUTOSCALING pool capped at
+      its fraction — N fixed pools would book every CPU and deadlock the
+      reads, and unbounded task stages would not respect the share at all.
+
+    batch_size=None → whole input blocks: output block count mirrors the
+    input layout instead of fragmenting into thousands of small blocks
+    (every downstream per-block task pays fixed overhead; a fragmented
+    mention stream measured 5× slower through the aggregates)."""
     from ..runtime import fixed_pool_size, pool_size
-    # batch_size=None → whole input blocks: output block count mirrors the
-    # input layout instead of fragmenting into thousands of small blocks
-    # (every downstream per-block task pays fixed overhead; a fragmented
-    # mention stream measured 5× slower through the aggregates).
-    # share=1.0: FIXED pool (no autoscale ramp) — safe because this is the
-    # only pool in the plan and it leaves a quarter of the node to the read
-    # tasks. share<1 (concurrent wave jobs): AUTOSCALING pool capped at that
-    # fraction — N fixed pools would book every CPU and deadlock the reads.
+    if dispatch == "tasks" and share >= 1.0:
+        return corpus_ds.map_batches(
+            _extract_batch,
+            fn_kwargs={"cfg": cfg, "alias_parquet": alias_parquet},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     if share >= 1.0:
         concurrency = fixed_pool_size()
     else:

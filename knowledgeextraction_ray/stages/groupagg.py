@@ -64,3 +64,67 @@ def bucketed_agg(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
                            batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def file_local_count(ds, keys: list[str],
+                     file_cols: tuple[str, ...] = ("repo", "path"),
+                     count_alias: str = "n",
+                     edge_driver_limit: int = 2_000_000,
+                     num_buckets: int = 64):
+    """SHUFFLE-FREE groupby-count for keys that contain the file identity
+    (``file_cols`` ⊆ ``keys``) over a file-contiguous block layout (each
+    block is one fused-task output, so a key's rows never span blocks and a
+    per-block pandas count IS the global count). Ray's dynamic block
+    splitting can cut a block mid-file, so the invariant is repaired, not
+    assumed (the scheme of ``stages/triples`` block-scope dedup): a
+    2-rows-per-block boundary scan finds straddler files; only their rows
+    merge globally — driver pandas when few (the common case), a
+    ``bucketed_agg`` of the partial counts past ``edge_driver_limit``.
+    Bulk rows never shuffle. Equality with ``bucketed_agg`` is test-pinned,
+    including under a forced mid-file split.
+
+    ``ds`` is consumed 2-3×(boundary scan, bulk, edge) — pass it
+    materialized/checkpointed when it is the product of a pipeline."""
+    import ray.data as rd
+    assert set(file_cols) <= set(keys)
+    keys = list(keys)
+
+    def _bounds(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"__file": pa.array([], pa.string())})
+        lo = "\x1f".join(str(batch[c][0].as_py()) for c in file_cols)
+        hi = "\x1f".join(str(batch[c][-1].as_py()) for c in file_cols)
+        return pa.Table.from_pydict({"__file": pa.array(sorted({lo, hi}))})
+
+    pdf = ds.map_batches(_bounds, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    vc = pdf["__file"].value_counts()
+    suspects = frozenset(vc[vc >= 2].index)
+
+    def _count_batch(g: pd.DataFrame, keep_suspects: bool) -> pd.DataFrame:
+        if suspects:
+            fk = g[file_cols[0]].astype(str)
+            for c in file_cols[1:]:
+                fk = fk + "\x1f" + g[c].astype(str)
+            m = fk.isin(suspects)
+            g = g[m] if keep_suspects else g[~m]
+        return (g.groupby(keys, sort=False).size()
+                .to_frame(count_alias).reset_index())
+
+    bulk = ds.map_batches(lambda g: _count_batch(g, False),
+                          batch_format="pandas", batch_size=None)
+    if not suspects:
+        return bulk
+    edge = ds.map_batches(lambda g: _count_batch(g, True),
+                          batch_format="pandas", batch_size=None)
+    try:
+        edge_pdf = edge.to_pandas(limit=edge_driver_limit)
+    except ValueError:
+        fixed = bucketed_agg(edge, keys,
+                             {count_alias: (count_alias, "sum")},
+                             num_buckets=num_buckets)
+        return bulk.union(fixed)
+    merged = (edge_pdf.groupby(keys, sort=False)[count_alias]
+              .sum().reset_index())
+    return bulk.union(rd.from_pandas(merged))

@@ -94,3 +94,46 @@ def test_block_scope_survives_midfile_block_split():
     pd.testing.assert_frame_equal(out, glob)
     straddle = out[(out.subj == "repoA:b.py") & (out.pred == "calls")]
     assert len(straddle) == 1 and straddle.n_mentions.iloc[0] == 2
+
+
+def test_file_local_count_equals_bucketed(corpus_ready):
+    """The shuffle-free file-local count must equal the bucketed groupby on
+    the real mention stream (the q_mentions aggregation)."""
+    from knowledgeextraction_ray.pipelines.kg import linked_mentions
+    from knowledgeextraction_ray.stages.groupagg import (bucketed_agg,
+                                                         file_local_count)
+    keys = ["repo", "path", "label", "surface"]
+    linked = linked_mentions(corpus_ready).materialize()
+    a = (file_local_count(linked, keys).to_pandas()
+         .sort_values(keys, kind="mergesort").reset_index(drop=True))
+    b = (bucketed_agg(linked, keys, {}, count_alias="n").to_pandas()
+         .sort_values(keys, kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[keys + ["n"]], b[keys + ["n"]])
+
+
+def test_file_local_count_survives_midfile_block_split():
+    """A file's rows cut across two blocks must still count as one key
+    (straddler repair)."""
+    import ray.data as rd
+
+    from knowledgeextraction_ray.stages.groupagg import file_local_count
+    f1 = ("repoA", "a.py", "c1", "sha1")
+    f2 = ("repoA", "b.py", "c2", "sha2")
+    f3 = ("repoB", "c.py", "c3", "sha3")
+    blk1 = _mention_table([
+        f1 + ("IMPORT", "utils", "e_utils"),
+        f1 + ("IMPORT", "utils", "e_utils"),
+        f2 + ("CALL", "utils", "e_utils"),
+    ])
+    blk2 = _mention_table([
+        f2 + ("CALL", "utils", "e_utils"),
+        f3 + ("CLASS", "Cfg", "e_cfg"),
+    ])
+    linked = rd.from_arrow([blk1, blk2])
+    assert linked.num_blocks() == 2
+    keys = ["repo", "path", "label", "surface_norm"]
+    out = (file_local_count(linked, keys).to_pandas()
+           .sort_values(keys, kind="mergesort").reset_index(drop=True))
+    straddle = out[(out.path == "b.py")]
+    assert len(straddle) == 1 and straddle.n.iloc[0] == 2
+    assert out.n.sum() == 5 and len(out) == 3

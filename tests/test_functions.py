@@ -271,3 +271,30 @@ def test_convert_index_reference_semantics():
     assert convert_index(idx, 2, is_start=False) == 6     # gap: rear-1
     assert convert_index(idx, 5, m=10, is_start=True) == 8
     assert convert_index(idx, 5, m=10, is_start=False) == 9
+
+
+def test_chunk_counts_ids_matches_per_row_update():
+    """Vectorized ID-space counting ≡ the per-row string ChunkCounts walk,
+    over random noisy sequences including malformed BIO (I-after-O, type
+    switches, B-runs)."""
+    import numpy as np
+
+    from knowledgeextraction_ray.functions.conlleval import chunk_counts_ids
+    from knowledgeextraction_ray.stages.ner_scorer import LABEL_LIST
+
+    rs = np.random.RandomState(42)
+    K = len(LABEL_LIST)
+    for trial in range(20):
+        lens = rs.randint(0, 40, size=rs.randint(1, 12))
+        # skew toward O but include every malformed pattern
+        gold_rows = [rs.choice(K, size=n, p=[0.5] + [0.5 / (K - 1)] * (K - 1))
+                     for n in lens]
+        pred_rows = [np.where(rs.rand(n) < 0.3, rs.randint(0, K, size=n), g)
+                     for n, g in zip(lens, gold_rows)]
+        ref = ChunkCounts()
+        for g, p in zip(gold_rows, pred_rows):
+            ref.update([LABEL_LIST[i] for i in g], [LABEL_LIST[i] for i in p])
+        flat_g = np.concatenate(gold_rows) if len(gold_rows) else np.array([])
+        flat_p = np.concatenate(pred_rows) if len(pred_rows) else np.array([])
+        got = chunk_counts_ids(flat_g, flat_p, lens, LABEL_LIST)
+        assert got == ref, (trial, got, ref)
