@@ -137,20 +137,44 @@ class DenseCharTagModel:
         self.w3 = rs.standard_normal(
             (hidden, NUM_LABELS)).astype(np.float32) * 0.05
         self.rule = RuleCharTagModel() if rule_bias else None
+        # layer-1 folded into the embedding: for each context offset s,
+        # x @ W1[s-block] == (E @ W1[s-block])[shifted ids] — gather and a
+        # per-position linear map commute exactly, so the (N·L, ctx·D)
+        # concat and its matmul collapse into ctx vocab-sized projections
+        # computed ONCE here. Halves the per-char flops and removes the
+        # gigabyte-class concat temporary the naive form allocates.
+        self.proj = [np.ascontiguousarray(
+            self.emb @ self.w1[k * emb_dim:(k + 1) * emb_dim])
+            for k in range(ctx)]
 
     def logits(self, ids: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
         n, L = ids.shape
+        hidden = self.b1.shape[0]
         clipped = np.clip(ids, 0, len(self.emb) - 1)
-        e = self.emb[clipped]                          # (N, L, D) gather
-        pads = [np.roll(e, s, axis=1) for s in
-                range(self.window, -self.window - 1, -1)]
-        x = np.concatenate(pads, axis=2).reshape(n * L, -1)
-        h = np.tanh(x @ self.w1 + self.b1)             # (N·L, H)
-        h = np.tanh(h @ self.w2 + self.b2)
-        z = np.tanh(h @ self.w3).reshape(n, L, NUM_LABELS) * self.scale
+        # shifted-id views per context offset (np.roll semantics of the
+        # unfolded form: row-internal wrap at the edges)
+        shifts = [np.roll(clipped, s, axis=1) for s in
+                  range(self.window, -self.window - 1, -1)]
+        out = np.empty((n, L, NUM_LABELS), dtype=np.float32)
+        # row-chunked forward: bounds peak temporaries to ~chunk·L·hidden
+        # floats regardless of block size (a whole-block batch at the naive
+        # layout allocated >1 GB and thrashed cache)
+        chunk = max(1, (1 << 25) // (L * hidden))      # ~128 MB of float32
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            m = (hi - lo) * L
+            h = self.b1 + self.proj[0][shifts[0][lo:hi]].reshape(m, hidden)
+            for s in range(1, len(shifts)):
+                h += self.proj[s][shifts[s][lo:hi]].reshape(m, hidden)
+            np.tanh(h, out=h)
+            h = h @ self.w2
+            h += self.b2
+            np.tanh(h, out=h)
+            z = np.tanh(h @ self.w3) * self.scale
+            out[lo:hi] = z.reshape(hi - lo, L, NUM_LABELS)
         if self.rule is not None:
-            z = z + self.rule.logits(ids, seq_len)
-        return z.astype(np.float32)
+            out += self.rule.logits(ids, seq_len)
+        return out
 
 
 def build_model(cfg: "ScorerConfig"):
@@ -175,13 +199,10 @@ def bio_transitions() -> np.ndarray:
     return t
 
 
-def viterbi_decode(logits: np.ndarray, seq_len: np.ndarray,
-                   transitions: np.ndarray) -> np.ndarray:
-    """First-order Viterbi over (N, L, K) emissions → (N, L) tags.
-
-    Decoded per row over the REAL sequence length (payload + CLS/SEP) so the
-    padded tail never influences the path; each DP step is a (K, K) numpy
-    max — fine for L ≤ 384 and a non-default decode mode."""
+def viterbi_decode_ref(logits: np.ndarray, seq_len: np.ndarray,
+                       transitions: np.ndarray) -> np.ndarray:
+    """Per-row reference Viterbi (the readable scalar DP). Kept as the
+    parity pin for the batch-vectorized :func:`viterbi_decode`."""
     n, L, K = logits.shape
     tags = np.zeros((n, L), dtype=np.int8)
     for i in range(n):
@@ -198,6 +219,45 @@ def viterbi_decode(logits: np.ndarray, seq_len: np.ndarray,
             cur = int(bk[t, cur])
             seq.append(cur)
         tags[i, :Lr] = seq[::-1]
+    return tags
+
+
+def viterbi_decode(logits: np.ndarray, seq_len: np.ndarray,
+                   transitions: np.ndarray) -> np.ndarray:
+    """First-order Viterbi over (N, L, K) emissions → (N, L) tags,
+    vectorized over the BATCH: the DP walks time once (≤ L Python steps),
+    each step an (N, K, K) broadcast max, instead of a Python loop per row
+    (N·L scalar steps — the dominant cost of ``decode="viterbi"`` on large
+    blocks). Rows stop updating at their own real length (payload +
+    CLS/SEP), so padding never influences a path; ≡ ``viterbi_decode_ref``
+    (test-pinned), which itself is ≡ argmax for margin-dominated emissions
+    (the flagship invariant)."""
+    n, L, K = logits.shape
+    if n == 0:
+        return np.zeros((n, L), dtype=np.int8)
+    lens = np.minimum(seq_len.astype(np.int64) + 2, L)
+    Lmax = int(lens.max())
+    s = logits[:, 0, :].astype(np.float32).copy()      # (N, K) path scores
+    bk = np.zeros((n, Lmax, K), dtype=np.int8)         # back-pointers
+    trans = transitions[None, :, :]                    # (1, K, K)
+    for t in range(1, Lmax):
+        cand = s[:, :, None] + trans                   # (N, K, K)
+        bk[:, t] = cand.argmax(axis=1)
+        ns = cand.max(axis=1) + logits[:, t, :]
+        active = (t < lens)[:, None]
+        s = np.where(active, ns, s)
+    tags = np.zeros((n, L), dtype=np.int8)
+    cur = s.argmax(axis=1)                             # (N,) final states
+    rows = np.arange(n)
+    for t in range(Lmax - 1, -1, -1):
+        at_end = lens - 1 == t
+        inside = t < lens - 1
+        if at_end.any():
+            tags[at_end, t] = cur[at_end]
+        if inside.any():
+            prev = bk[rows, t + 1, cur]
+            cur = np.where(inside, prev, cur)
+            tags[inside, t] = cur[inside]
     return tags
 
 

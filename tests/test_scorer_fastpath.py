@@ -75,3 +75,18 @@ def test_flagship_runs_with_dense_encoder(corpus_ready):
     b = (kg_pipeline(corpus_ready, cfg=cfg).to_pandas()[cols]
          .sort_values(cols[:3], kind="mergesort").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_viterbi_vectorized_matches_reference():
+    """Batch-vectorized Viterbi ≡ the per-row scalar DP on random emissions
+    (including transition-forbidden moves and ragged lengths)."""
+    from knowledgeextraction_ray.stages.ner_scorer import (
+        NUM_LABELS, bio_transitions, viterbi_decode, viterbi_decode_ref)
+    rs = np.random.RandomState(7)
+    tr = bio_transitions()
+    for _ in range(5):
+        n, L = rs.randint(1, 20), rs.randint(4, 60)
+        logits = rs.standard_normal((n, L, NUM_LABELS)).astype(np.float32)
+        seq_len = rs.randint(0, L - 1, size=n).astype(np.int32)
+        assert np.array_equal(viterbi_decode(logits, seq_len, tr),
+                              viterbi_decode_ref(logits, seq_len, tr))
