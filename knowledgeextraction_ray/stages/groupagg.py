@@ -66,6 +66,42 @@ def bucketed_agg(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def partial_combine_agg(ds, keys: list[str],
+                        agg_spec: dict[str, tuple[str, str]]) -> pd.DataFrame:
+    """groupby(keys) for LOW-cardinality keys with NO distributed shuffle:
+    each batch pre-aggregates to ≤ |groups| partial rows inside
+    ``map_batches`` (the combiner pattern), and the tiny partial stream —
+    blocks × groups rows of plain numbers — merges in one driver pandas
+    call. The built-in distributed ``groupby().aggregate`` pays a ~7-10 s
+    fixed sort-shuffle cost per execution (measured, see module docstring);
+    for a 6-group TPC-H Q1-shaped aggregate that fixed cost IS the query.
+
+    ``agg_spec``: out_col → (in_col, fn), ordered; fn ∈ sum/min/max/count
+    (associative, so partial-then-merge is exact; ``count`` re-merges as
+    ``sum``). At cluster scale the driver combine stays O(blocks × groups)
+    — flip to ``bucketed_agg`` past ~10k groups, where per-batch partials
+    stop compressing."""
+    merge = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+    for out_col, (_, fn) in agg_spec.items():
+        if fn not in merge:
+            raise ValueError(f"non-associative agg {fn!r} for {out_col!r}")
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        out = pd.DataFrame(index=gb.size().index)
+        for out_col, (in_col, fn) in agg_spec.items():
+            out[out_col] = gb.size() if fn == "count" else gb[in_col].agg(fn)
+        return out.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None).to_pandas()
+    gb = partials.groupby(keys, sort=False)
+    final = pd.DataFrame(index=gb.size().index)
+    for out_col, (_, fn) in agg_spec.items():
+        final[out_col] = gb[out_col].agg(merge[fn])
+    return final.reset_index()
+
+
 def file_local_count(ds, keys: list[str],
                      file_cols: tuple[str, ...] = ("repo", "path"),
                      count_alias: str = "n",
