@@ -222,6 +222,27 @@ from allq left join agg using (sha, qtype)
 """
 
 
+def sql_ner_eval(sf_dir: str) -> str:
+    """conlleval chunk-count oracle for the uncorrupted eval (G6): the
+    scorer IS the grammar, so gold ≡ pred — chunk counts equal the corpus
+    mention count, tag counts equal total corpus chars (segmentation
+    partitions each file exactly; the sha-roundtrip gate pins that), and
+    every rate is exactly 1. ``corrupt_frac > 0`` variants stay
+    pytest-gated (corruption keys on segment guids, which SQL can't
+    derive)."""
+    corpus = corpus_glob(sf_dir)
+    return f"""
+with m as ({_mentions_cte(corpus)}),
+c as (select count(*) as n from m),
+t as (select cast(sum(length(content)) as bigint) as n
+      from read_parquet('{corpus}'))
+select c.n as correct_chunks, c.n as gold_chunks, c.n as pred_chunks,
+       t.n as correct_tags, t.n as total_tags,
+       1.0 as accuracy, 1.0 as precision, 1.0 as recall, 1.0 as f1
+from c, t
+"""
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
@@ -233,4 +254,5 @@ KG_ORACLES = {
     "kg_triples_resumable": sql_triples,
     "nre_bags": sql_nre_bags,
     "mrc_answers": sql_mrc_answers,
+    "ner_eval_prf": sql_ner_eval,
 }
