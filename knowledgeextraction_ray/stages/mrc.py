@@ -439,6 +439,21 @@ def mrc_answer_f1(nbest_pdf, gold_map: dict[str, set[str]]) -> dict:
             "recall": rec, "f1": f1, "n_examples": n}
 
 
+_FUSED_SCORER_CACHE: dict = {}
+
+
+def _fused_score_batch(batch: pa.Table, *, max_span: int, stride: int,
+                       n_best: int, null_threshold: float | None) -> pa.Table:
+    key = (max_span, stride, n_best, null_threshold)
+    sc = _FUSED_SCORER_CACHE.get(key)
+    if sc is None:
+        sc = _FUSED_SCORER_CACHE.setdefault(
+            key, MrcFusedScorer(max_span=max_span, stride=stride,
+                                n_best=n_best,
+                                null_threshold=null_threshold))
+    return sc(batch)
+
+
 def mrc_pipeline(corpus_ds, max_span: int = 200, stride: int = 100,
                  n_best: int = 20, null_threshold: float | None = 0.0,
                  mode: str = "fused"):
@@ -446,16 +461,18 @@ def mrc_pipeline(corpus_ds, max_span: int = 200, stride: int = 100,
     final answer. ``mode="fused"`` (default) is the single-stage zero-
     shuffle shape; ``mode="staged"`` is the distributed explode → score →
     bucketed-merge shape (identical rows, test-pinned)."""
-    from ..runtime import fixed_pool_size, pool_size
+    from ..runtime import pool_size
     if mode == "fused":
-        # solo hot-path pool → fixed size (autoscaling ramp halves
-        # effective parallelism on tens-of-seconds jobs; see runtime.py)
+        # warm-worker TASKS, scorer cached once per worker process: the
+        # fused state is compiled regexes, and a per-execution actor pool
+        # costs ~2-3 s of creation that tasks don't pay (the same
+        # measurement behind stages/fused.py dispatch="tasks"). An actor
+        # pool is only warranted here for a real heavy encoder.
         return corpus_ds.map_batches(
-            MrcFusedScorer,
-            fn_constructor_kwargs={"max_span": max_span, "stride": stride,
-                                   "n_best": n_best,
-                                   "null_threshold": null_threshold},
-            batch_format="pyarrow", concurrency=fixed_pool_size())
+            _fused_score_batch,
+            fn_kwargs={"max_span": max_span, "stride": stride,
+                       "n_best": n_best, "null_threshold": null_threshold},
+            batch_format="pyarrow")
     examples = corpus_ds.map_batches(build_examples, batch_format="pyarrow")
     scored = examples.map_batches(
         MrcWindowScorer,
