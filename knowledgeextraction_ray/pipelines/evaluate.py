@@ -134,15 +134,11 @@ class _FusedEvalCount:
         return pa.Table.from_pydict({k: [v] for k, v in cc.as_row().items()})
 
 
-_EVAL_CACHE: dict = {}
-
-
 def _fused_eval_batch(batch: pa.Table, *, cfg: PipelineConfig,
                       corrupt_frac: float) -> pa.Table:
-    key = (repr(cfg), corrupt_frac)
-    fe = _EVAL_CACHE.get(key)
-    if fe is None:
-        fe = _EVAL_CACHE.setdefault(key, _FusedEvalCount(cfg, corrupt_frac))
+    from ..runtime import worker_state
+    fe = worker_state(("fused_eval", repr(cfg), corrupt_frac),
+                      lambda: _FusedEvalCount(cfg, corrupt_frac))
     return fe(batch)
 
 

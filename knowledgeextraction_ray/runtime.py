@@ -28,6 +28,25 @@ def pool_size(frac: float = 1.0, reserve: int = 2, lo: int = 2,
     return max(lo, min(hi, int((cluster_cpus() - reserve) * frac)))
 
 
+_WORKER_STATE: dict = {}
+
+
+def worker_state(key, factory):
+    """Once-per-WORKER-PROCESS state for task-dispatched ``map_batches``
+    functions (the warm-worker alternative to an actor pool, for stages
+    whose state is cheap to build — compiled regexes, small broadcast
+    tables). Ray reuses worker processes across tasks and executions, so
+    the factory runs once per process per key and every later task on that
+    worker hits the cache; a per-execution actor pool pays ~2-3 s of
+    creation (measured) that this path never does. Use a REAL actor pool
+    when the state is heavy (multi-GB encoder weights) or needs placement
+    (``num_gpus``). ``key`` must capture everything the factory reads."""
+    st = _WORKER_STATE.get(key)
+    if st is None:
+        st = _WORKER_STATE.setdefault(key, factory())
+    return st
+
+
 def fixed_pool_size(lo: int = 1, hi: int = 256) -> int:
     """FIXED actor count for a solo hot-path pool: 3/4 of the node, the rest
     left to the read/write task stages.

@@ -42,15 +42,11 @@ class FusedExtract:
         return link_batch(mentions, self.alias_parquet)
 
 
-_EXTRACT_CACHE: dict = {}
-
-
 def _extract_batch(batch: pa.Table, *, cfg: PipelineConfig,
                    alias_parquet: str) -> pa.Table:
-    key = (repr(cfg), alias_parquet)
-    fe = _EXTRACT_CACHE.get(key)
-    if fe is None:
-        fe = _EXTRACT_CACHE.setdefault(key, FusedExtract(cfg, alias_parquet))
+    from ..runtime import worker_state
+    fe = worker_state(("fused_extract", repr(cfg), alias_parquet),
+                      lambda: FusedExtract(cfg, alias_parquet))
     return fe(batch)
 
 

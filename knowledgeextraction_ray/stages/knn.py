@@ -57,6 +57,20 @@ class BruteKnnScorer:
         })
 
 
+def _brute_score_batch(batch: pa.Table, *, queries_ref, k: int) -> pa.Table:
+    """Task form of :class:`BruteKnnScorer` — the query matrix derefs once
+    per worker process (``runtime.worker_state``), so the broadcast
+    semantics (one object-store copy per node) survive without paying a
+    per-execution actor-pool creation."""
+    from ..runtime import worker_state
+    key = (queries_ref.hex() if hasattr(queries_ref, "hex")
+           else id(queries_ref), k)
+    scorer = worker_state(
+        ("knn_brute", key),
+        lambda: BruteKnnScorer(queries_ref=queries_ref, k=k))
+    return scorer(batch)
+
+
 def _global_topk(candidates, k: int) -> pd.DataFrame:
     """Merge per-batch candidates → final top-k per query (tiny: Q×k×blocks
     rows). Deterministic order: sim desc, neighbor_id asc."""
@@ -89,11 +103,9 @@ def knn_brute(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     q_ids = q_tab["vec_id"].tolist()
     qm = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
     ref = ray.put((q_ids, qm))
-    from ..runtime import pool_size
     cands = ds.map_batches(
-        BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, pool_size(1.0)))
+        _brute_score_batch, fn_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096)
     return _global_topk(cands, k)
 
 
@@ -143,12 +155,10 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
         mask = np.isin(cells, list(probe))
         return batch.filter(pa.array(mask))
 
-    from ..runtime import pool_size
     filtered = ds.map_batches(in_probed_cells, batch_format="pyarrow")
     cands = filtered.map_batches(
-        BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, pool_size(1.0)))
+        _brute_score_batch, fn_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096)
     return _global_topk(cands, k)
 
 
@@ -177,9 +187,7 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, bits: int = 8,
         return batch.filter(pa.array(mask))
 
     filtered = ds.map_batches(in_query_buckets, batch_format="pyarrow")
-    from ..runtime import pool_size
     cands = filtered.map_batches(
-        BruteKnnScorer, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, pool_size(1.0)))
+        _brute_score_batch, fn_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096)
     return _global_topk(cands, k)

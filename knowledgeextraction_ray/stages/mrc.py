@@ -439,18 +439,13 @@ def mrc_answer_f1(nbest_pdf, gold_map: dict[str, set[str]]) -> dict:
             "recall": rec, "f1": f1, "n_examples": n}
 
 
-_FUSED_SCORER_CACHE: dict = {}
-
-
 def _fused_score_batch(batch: pa.Table, *, max_span: int, stride: int,
                        n_best: int, null_threshold: float | None) -> pa.Table:
-    key = (max_span, stride, n_best, null_threshold)
-    sc = _FUSED_SCORER_CACHE.get(key)
-    if sc is None:
-        sc = _FUSED_SCORER_CACHE.setdefault(
-            key, MrcFusedScorer(max_span=max_span, stride=stride,
-                                n_best=n_best,
-                                null_threshold=null_threshold))
+    from ..runtime import worker_state
+    sc = worker_state(
+        ("mrc_fused", max_span, stride, n_best, null_threshold),
+        lambda: MrcFusedScorer(max_span=max_span, stride=stride,
+                               n_best=n_best, null_threshold=null_threshold))
     return sc(batch)
 
 

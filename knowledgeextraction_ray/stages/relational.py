@@ -53,22 +53,19 @@ def q1_pricing_summary(sf_dir: str):
          "count_order": ("qty_e2", "count")})
 
 
-_BCAST_CACHE: dict = {}
-
-
 def _join_customer_nation(batch: pa.Table, *, cust_ref) -> pa.Table:
     """Broadcast join: orders ⋈ customer ⋈ nation via a ray.put'd dict —
     the dimension tables never shuffle; one object-store copy per node,
-    dereferenced ONCE per worker process (cache keyed by object id).
+    dereferenced ONCE per worker process (``runtime.worker_state``).
     Task-based rather than an actor pool: the per-execution pool creation
     constant (~2-3 s measured) dwarfs this join's work, and warm-worker
     tasks share the same once-per-process state through the cache."""
+    from ..runtime import worker_state
     key = cust_ref.hex() if hasattr(cust_ref, "hex") else id(cust_ref)
-    cust_to_nation = _BCAST_CACHE.get(key)
-    if cust_to_nation is None:
-        cust_to_nation = ray.get(cust_ref) if \
-            not isinstance(cust_ref, dict) else cust_ref
-        _BCAST_CACHE[key] = cust_to_nation
+    cust_to_nation = worker_state(
+        ("cust_nation", key),
+        lambda: ray.get(cust_ref) if not isinstance(cust_ref, dict)
+        else cust_ref)
     nations = [cust_to_nation.get(c, "UNKNOWN")
                for c in batch["o_custkey"].to_pylist()]
     total_e2 = scaled_int64(batch["o_totalprice"], 100.0)
