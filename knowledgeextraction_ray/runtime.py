@@ -40,9 +40,14 @@ def worker_state(key, factory):
     worker hits the cache; a per-execution actor pool pays ~2-3 s of
     creation (measured) that this path never does. Use a REAL actor pool
     when the state is heavy (multi-GB encoder weights) or needs placement
-    (``num_gpus``). ``key`` must capture everything the factory reads."""
+    (``num_gpus``). ``key`` must capture everything the factory reads.
+    Bounded (FIFO, 32 entries) so long-lived workers that see many
+    distinct keys — e.g. a fresh broadcast ref every job — don't grow
+    without limit."""
     st = _WORKER_STATE.get(key)
     if st is None:
+        while len(_WORKER_STATE) >= 32:
+            _WORKER_STATE.pop(next(iter(_WORKER_STATE)))
         st = _WORKER_STATE.setdefault(key, factory())
     return st
 
