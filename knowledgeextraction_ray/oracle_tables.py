@@ -244,7 +244,26 @@ select label, cast(dim as bigint) as dim,
 from u group by 1, 2
 """
 
+SQL_DOC_TFIDF = f"""
+with toks as (
+  select doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) as term
+  from documents),
+tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+df as (select term, count(distinct doc_id) as df from tf group by 1),
+scored as (
+  select tf.doc_id, tf.term, tf.tf, df.df,
+         cast(floor(tf.tf * 1000000.0 / df.df) as bigint) as score_e6
+  from tf join df using (term)),
+ranked as (
+  select *, row_number() over (partition by doc_id
+             order by score_e6 desc, term) as rnk
+  from scored)
+select doc_id, term, tf, df, score_e6, cast(rnk as bigint) as rank
+from ranked where rnk <= 5
+"""
+
 TABLE_ORACLES = {
+    "doc_tfidf": SQL_DOC_TFIDF,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,

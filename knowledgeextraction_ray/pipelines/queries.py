@@ -149,6 +149,13 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per document (corpus-global DF broadcast +
+    row-local ranking; exact integer scores)."""
+    from ..stages.text_analysis import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_doc_exact_dedup(sf_dir: str):
     from ..stages.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
@@ -371,6 +378,7 @@ def q_embedding_neardup(sf_dir: str):
 TABLE_QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
+    "doc_tfidf": q_doc_tfidf,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,

@@ -148,3 +148,71 @@ def fingerprint_rows_batch(batch: pa.Table) -> pa.Table:
         "fp_index": pa.array(idxs, pa.int64()),
         "fingerprint": pa.array(fps, pa.int64()),
     })
+
+
+def _doc_term_tf(batch: pa.Table) -> "object":
+    """(doc_id, term, tf) pandas frame for one batch — vectorized: Arrow
+    regex split on non-token runs (≡ findall of TOKEN_RE), zero-copy
+    explode via list offsets, one pandas groupby. Exact per doc because a
+    document is a single row."""
+    import pandas as pd
+    toks = pc.split_pattern_regex(batch["text"], "[^A-Za-z0-9_]+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(), lens)
+    terms = toks.values.to_pandas()
+    keep = terms != ""                  # split artifacts at text edges
+    df = pd.DataFrame({"doc_id": doc_ids[keep.to_numpy()],
+                       "term": terms[keep.to_numpy()].reset_index(drop=True)})
+    out = (df.groupby(["doc_id", "term"], sort=False).size()
+           .to_frame("tf").reset_index())
+    return out
+
+
+def tfidf_top_terms(ds, k: int = 5):
+    """Top-``k`` TF-IDF-style terms per document, exact-integer scored.
+
+    Classic two-pass shape for a corpus-global statistic:
+
+    1. **document frequencies**: per-batch (doc_id, term, tf) partials
+       collapse to per-batch (term, n_docs) and merge on the driver (the
+       combiner pattern; the DF table is vocab-sized — flip the merge to
+       ``bucketed_agg`` for web-scale vocabularies).
+    2. **scoring**: the DF table broadcasts via ``ray.put`` (one
+       object-store copy per node, deref once per worker); each batch
+       recomputes its docs' tf locally and takes top-k per doc — a doc is
+       one row, so ranking never leaves the batch and nothing shuffles.
+
+    Score: ``score_e6 = (tf * 1e6) // df`` — integer floor-div on both
+    sides (the SQL oracle's float floor provably agrees for these
+    magnitudes), rank by (score desc, term asc).
+    """
+    import pandas as pd
+    import ray
+
+    def df_partial(batch: pa.Table) -> "object":
+        tf = _doc_term_tf(batch)
+        return (tf.groupby("term", sort=False).size()
+                .to_frame("df").reset_index())
+
+    partials = ds.map_batches(df_partial, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    df_tab = partials.groupby("term", sort=False)["df"].sum()
+    df_ref = ray.put(dict(df_tab.items()))
+
+    def score_batch(batch: pa.Table, *, df_ref) -> "object":
+        from ..runtime import worker_state
+        key = df_ref.hex() if hasattr(df_ref, "hex") else id(df_ref)
+        df_map = worker_state(("tfidf_df", key), lambda: ray.get(df_ref))
+        tf = _doc_term_tf(batch)
+        dfv = tf["term"].map(df_map).astype(np.int64)
+        tf["df"] = dfv
+        tf["score_e6"] = (tf["tf"].astype(np.int64) * 1_000_000) // dfv
+        tf = tf.sort_values(["doc_id", "score_e6", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        tf = tf.groupby("doc_id", sort=False).head(k).copy()
+        tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        return tf[["doc_id", "term", "tf", "df", "score_e6", "rank"]]
+
+    return ds.map_batches(score_batch, fn_kwargs={"df_ref": df_ref},
+                          batch_format="pyarrow", batch_size=None)

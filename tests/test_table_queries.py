@@ -272,3 +272,19 @@ def test_knn_ivf_finds_planted_neighbors():
     full = knn_ivf(ds, query_ids=[0, 1], k=5, n_clusters=8, n_probe=8)
     pd.testing.assert_frame_equal(
         brute.reset_index(drop=True), full.reset_index(drop=True))
+
+
+def test_tfidf_rare_term_outranks_ubiquitous():
+    """A term in every doc (df = n_docs) must rank below a same-tf term
+    unique to one doc, and ranks are dense from 1 per doc."""
+    from knowledgeextraction_ray.stages.text_analysis import tfidf_top_terms
+    rows = [{"doc_id": i, "text": "common common rare%d" % i
+             if i == 0 else "common common filler%d word%d" % (i, i)}
+            for i in range(6)]
+    out = tfidf_top_terms(rd.from_pandas(pd.DataFrame(rows)), k=3).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # rare0: tf=1, df=1 → 1e6; common: tf=2, df=6 → 333333
+    assert d0.iloc[0]["term"] == "rare0" and d0.iloc[0]["score_e6"] == 1_000_000
+    assert d0[d0.term == "common"].score_e6.iloc[0] == 333_333
+    for _, g in out.groupby("doc_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
