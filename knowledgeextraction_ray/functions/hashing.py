@@ -41,3 +41,21 @@ def stable_hash64(values: list[str]) -> np.ndarray:
 
 def partition_id_for(subjects: list[str], num_partitions: int) -> np.ndarray:
     return (stable_hash64(subjects) % num_partitions).astype(np.int32)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 of an integer array → uint64 in [0, 2^64).
+
+    A bijection on uint64 (distinct ids → distinct keys, so orderings have
+    no ties) whose exact semantics the DuckDB oracles restate in hugeint
+    limb arithmetic (``oracle_tables._mulmod64``/``_xorshift64``) — the
+    deterministic sampling key."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):              # mod-2^64 by design
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z

@@ -88,6 +88,173 @@ from q join e on e.vec_id <> q.q_id
 qualify rank <= 10
 """
 
+def _knn_lsh_sql(bits: int = 8, dim: int = 64, seed: int = 5,
+                 n_queries: int = 8, k: int = 10) -> str:
+    """knn_lsh oracle: the seeded hyperplane matrix is embedded as SQL
+    literals (repr round-trips float64 exactly), so the bucket filter is the
+    same on both sides; then exact cosine top-k among candidates."""
+    from .stages.knn import lsh_planes
+    planes = lsh_planes(dim, bits, seed)
+
+    def plane_list(j: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+
+    bucket = " + ".join(
+        f"(case when list_dot_product(v, {plane_list(j)}) > 0"
+        f" then {1 << j} else 0 end)" for j in range(bits))
+    return f"""
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings),
+b as (select vec_id, v, {bucket} as bucket from e),
+q as (select vec_id as q_id, v as qv, bucket as qb from b
+      where vec_id < {n_queries}),
+cand as (select * from b where bucket in (select qb from q))
+select q_id, vec_id as neighbor_id,
+       cast(row_number() over (
+         partition by q_id
+         order by list_cosine_similarity(qv, v) desc, vec_id asc)
+         as bigint) as rank,
+       round(list_cosine_similarity(qv, v), 6) as sim
+from q join cand on cand.vec_id <> q.q_id
+qualify rank <= {k}
+"""
+
+
+SQL_KNN_LSH = _knn_lsh_sql()
+
+
+# --- exact uint64 arithmetic in SQL (hugeint limb helpers) -----------------
+# 64-bit wraparound multiply = two 32-bit partial products mod 2^64;
+# xor-shift = hugeint xor (exact, probed) with a floor-divide shift. Shared
+# by every oracle that restates an avalanche/mix hash (simhash, sampling).
+
+_M64 = 1 << 64
+
+
+def _mulmod64(h: str, c: int) -> str:
+    """SQL expr for (h * c) mod 2^64, h a hugeint expr in [0, 2^64)."""
+    chi, clo = c >> 32, c & 0xFFFFFFFF
+    return (f"(({h}) * {clo}::hugeint + "
+            f"((({h}) % 4294967296::hugeint) * {chi}::hugeint "
+            f"% 4294967296::hugeint) * 4294967296::hugeint) "
+            f"% {_M64}::hugeint")
+
+
+def _xorshift64(h: str, s: int) -> str:
+    """SQL expr for h ^ (h >> s), h a hugeint expr in [0, 2^64)."""
+    return f"xor({h}, ({h}) // {1 << s}::hugeint)"
+
+
+def _to_int64(h: str) -> str:
+    """SQL expr: two's-complement reinterpretation of a [0, 2^64) hugeint."""
+    return (f"cast(case when ({h}) >= {1 << 63}::hugeint "
+            f"then ({h}) - {_M64}::hugeint else ({h}) end as bigint)")
+
+
+def _simhash_sql(seed: int = 11) -> str:
+    """doc_simhash oracle: the SimHasher's exact semantics restated in SQL —
+    polynomial byte hash mod 2^64 (hex expansion, as in the fingerprint
+    oracle), splitmix64 avalanche via the hugeint limb helpers, per-bit
+    majority votes as 64 aggregate columns, two's-complement repack.
+    Bit-identical to ``stages/dedup.SimHasher`` (verified over the full
+    sf0.01 corpus)."""
+    from .stages.dedup import SimHasher
+    salt = int(SimHasher(seed).salt)
+    m = _M64
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    mulmod, xorshift = _mulmod64, _xorshift64
+
+    votes = ",\n       ".join(
+        f"sum(((h // {1 << b}::hugeint) % 2)::bigint) as v{b}"
+        for b in range(64))
+    packed = " + ".join(
+        f"(case when 2 * v{b} > n then {1 << b}::hugeint else 0::hugeint end)"
+        for b in range(64))
+    return f"""
+with recursive powers(e, pw) as (
+  select 0, 1::hugeint
+  union all
+  select e + 1, (pw * 1000003::hugeint) % {m}::hugeint
+  from powers where e < 512),
+toks as (
+  select doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) as tok
+  from documents),
+tb as (
+  select row_number() over () as tid, doc_id,
+         hex(tok) as hx, length(hex(tok)) // 2 as L
+  from toks),
+bytes as (
+  select tid, doc_id, L, hx, unnest(range(0, L)) as i from tb),
+h0 as (
+  select tid, doc_id,
+         sum((('0x' || substr(hx, 2 * i + 1, 2))::bigint)::hugeint * p.pw)
+           % {m}::hugeint as h
+  from bytes join powers p on p.e = L - 1 - i
+  group by 1, 2),
+a1 as (select tid, doc_id, {xorshift('h', 30)} as h from h0),
+a2 as (select tid, doc_id, {mulmod('h', c1)} as h from a1),
+a3 as (select tid, doc_id, {xorshift('h', 27)} as h from a2),
+a4 as (select tid, doc_id, {mulmod('h', c2)} as h from a3),
+a5 as (select tid, doc_id, {xorshift('h', 31)} as h from a4),
+a6 as (select tid, doc_id, xor(h, {salt}::hugeint) as h from a5),
+vt as (select doc_id, count(*) as n,
+       {votes}
+       from a6 group by doc_id),
+sh as (select doc_id, {packed} as su from vt)
+select d.doc_id,
+       cast(case when coalesce(su, 0::hugeint) >= {1 << 63}::hugeint
+                 then coalesce(su, 0::hugeint) - {m}::hugeint
+                 else coalesce(su, 0::hugeint) end as bigint) as simhash
+from documents d left join sh using (doc_id)
+"""
+
+
+SQL_DOC_SIMHASH = _simhash_sql()
+
+_SM_GAMMA = 0x9E3779B97F4A7C15
+
+
+def _splitmix_ctes(carry: str, id_expr: str, src: str) -> str:
+    """CTE chain k0..k5 computing h = splitmix64(id_expr) over ``src``,
+    carrying ``carry`` columns through — the exact uint64 semantics of
+    ``functions.hashing.splitmix64``."""
+    steps = [_xorshift64("h", 30), _mulmod64("h", 0xBF58476D1CE4E5B9),
+             _xorshift64("h", 27), _mulmod64("h", 0x94D049BB133111EB),
+             _xorshift64("h", 31)]
+    ctes = [f"k0 as (select {carry}, (({id_expr})::hugeint + "
+            f"{_SM_GAMMA}::hugeint) % {_M64}::hugeint as h from {src})"]
+    for i, e in enumerate(steps, 1):
+        ctes.append(f"k{i} as (select {carry}, {e} as h from k{i - 1})")
+    return ",\n".join(ctes)
+
+
+def _stratified_sample_sql(k: int = 20) -> str:
+    """doc_stratified_sample oracle: splitmix64 key via limb CTEs, exactly-k
+    smallest keys per source (bijection → no ties)."""
+    return f"""
+with {_splitmix_ctes('doc_id, source', 'doc_id', 'documents')}
+select source, doc_id, {_to_int64('h')} as sample_key,
+       cast(row_number() over (partition by source order by h)
+            as bigint) as rank
+from k5
+qualify rank <= {k}
+"""
+
+
+def _sample_rate_sql(rate: float = 0.3) -> str:
+    """doc_sample_rate oracle: the deterministic Bernoulli filter — keep
+    rows with splitmix64(doc_id) below rate·2^64."""
+    threshold = min(int(rate * (1 << 64)), (1 << 64) - 1)
+    return f"""
+with {_splitmix_ctes('doc_id, source', 'doc_id', 'documents')}
+select doc_id, source from k5 where h < {threshold}::hugeint
+"""
+
+
+SQL_DOC_STRATIFIED_SAMPLE = _stratified_sample_sql()
+SQL_DOC_SAMPLE_RATE = _sample_rate_sql()
+
 SQL_EVENTS_WINDOW = """
 select user_id, date_trunc('hour', ts) as window_start,
        count(*) as n_events,
@@ -275,6 +442,10 @@ TABLE_ORACLES = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "knn_topk": SQL_KNN_TOPK,
+    "knn_lsh": SQL_KNN_LSH,
+    "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+    "doc_sample_rate": SQL_DOC_SAMPLE_RATE,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "q1_pricing_summary": SQL_Q1,

@@ -348,6 +348,22 @@ def q_doc_fingerprint(sf_dir: str):
         fingerprint_rows_batch, batch_format="pyarrow")
 
 
+def q_doc_stratified_sample(sf_dir: str):
+    """Exactly-k-per-source deterministic sample (splitmix64 key — the
+    SQL oracle reproduces the key in hugeint limb arithmetic)."""
+    from ..stages.sampling import stratified_sample
+    return stratified_sample(_docs(sf_dir, ["doc_id", "source"]),
+                             "source", "doc_id", k=20)
+
+
+def q_doc_sample_rate(sf_dir: str):
+    """Deterministic Bernoulli-style downsample at rate 0.3 (zero-exchange
+    filter; same row set on every run/engine)."""
+    from ..stages.sampling import sample_by_rate
+    return sample_by_rate(_docs(sf_dir, ["doc_id", "source"]),
+                          "doc_id", rate=0.3)
+
+
 def q_knn_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -564,10 +580,13 @@ TABLE_QUERIES["kg_triples_by_repo"] = q_kg_triples_by_repo
 TABLE_QUERIES["events_sliding_window"] = q_events_sliding_window
 TABLE_QUERIES["top_orders_per_customer"] = q_top_orders_per_customer
 
+TABLE_QUERIES["knn_lsh"] = q_knn_lsh
+TABLE_QUERIES["doc_simhash"] = q_doc_simhash
+TABLE_QUERIES["doc_stratified_sample"] = q_doc_stratified_sample
+TABLE_QUERIES["doc_sample_rate"] = q_doc_sample_rate
+
 ROWS_ONLY_QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
-    "doc_simhash": q_doc_simhash,
-    "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup": q_embedding_neardup,
     "ner_eval_prf": q_ner_eval_prf,

@@ -162,13 +162,20 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
     return _global_topk(cands, k)
 
 
+def lsh_planes(dim: int = 64, bits: int = 8, seed: int = 5) -> np.ndarray:
+    """Seeded hyperplane matrix (dim, bits) — shared by the Ray stage and
+    the DuckDB oracle (which embeds the same planes as SQL literals), so the
+    bucket assignment is bit-identical on both sides."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((dim, bits))
+
+
 def knn_lsh(ds, query_ids: list[int], k: int = 10, bits: int = 8,
             dim: int = 64, seed: int = 5) -> pd.DataFrame:
     """Approximate top-k: hyperplane-LSH bucket the corpus once (one pass),
-    scan only the queries' buckets. Recall measured against knn_brute in
-    tests; rows-only check for the driver."""
-    rs = np.random.RandomState(seed)
-    planes = rs.standard_normal((dim, bits))
+    scan only the queries' buckets. SQL-gated: the oracle reproduces the
+    bucket filter exactly via the literal plane matrix."""
+    planes = lsh_planes(dim, bits, seed)
 
     def bucket_of(vecs: np.ndarray) -> np.ndarray:
         signs = (vecs @ planes) > 0

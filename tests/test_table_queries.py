@@ -274,6 +274,34 @@ def test_knn_ivf_finds_planted_neighbors():
         brute.reset_index(drop=True), full.reset_index(drop=True))
 
 
+def test_stratified_sample_exact_k_and_deterministic():
+    from knowledgeextraction_ray.stages.sampling import stratified_sample
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(90)]
+    ds = rd.from_items(rows)
+    out = stratified_sample(ds, "source", "doc_id", k=5)
+    assert len(out) == 15
+    assert (out.groupby("source").size() == 5).all()
+    assert (out.groupby("source")["rank"].apply(
+        lambda r: sorted(r) == [1, 2, 3, 4, 5])).all()
+    # deterministic: identical on re-run and under a different block layout
+    again = stratified_sample(rd.from_items(rows).repartition(7),
+                              "source", "doc_id", k=5)
+    pd.testing.assert_frame_equal(out, again)
+
+
+def test_sample_by_rate_nested_and_unbiased():
+    """Threshold sampling is NESTED (rate-0.2 sample ⊆ rate-0.5 sample) and
+    close to the nominal rate."""
+    from knowledgeextraction_ray.stages.sampling import sample_by_rate
+    rows = [{"doc_id": i} for i in range(2000)]
+    ds = rd.from_items(rows)
+    s2 = set(sample_by_rate(ds, "doc_id", 0.2).to_pandas()["doc_id"])
+    s5 = set(sample_by_rate(ds, "doc_id", 0.5).to_pandas()["doc_id"])
+    assert s2 <= s5
+    assert abs(len(s2) / 2000 - 0.2) < 0.05
+    assert abs(len(s5) / 2000 - 0.5) < 0.05
+
+
 def test_tfidf_rare_term_outranks_ubiquitous():
     """A term in every doc (df = n_docs) must rank below a same-tf term
     unique to one doc, and ranks are dense from 1 per doc."""
