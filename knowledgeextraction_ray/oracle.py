@@ -243,6 +243,38 @@ from c, t
 """
 
 
+def sql_kg_pagerank(sf_dir: str, iters: int = 5, scale: int = 10**9,
+                    damping_pct: int = 85) -> str:
+    """PageRank over the distinct (subj → obj) triple graph, the exact
+    integer recurrence of ``stages/graph`` unrolled as one CTE per
+    iteration: contribution = (rank * damping // 100) // outdeg (two floor
+    divisions), new rank = base + incoming sum; dangling mass evaporates on
+    both sides identically."""
+    base = scale * (100 - damping_pct) // 100
+    ctes = [
+        _linked_ctes(sf_dir),
+        "triples as (select distinct l.repo || ':' || l.path as src, "
+        "c.entity_id as dst from linked l join canonical c "
+        "using (surface_norm))",
+        "nodes as (select src as node from triples "
+        "union select dst from triples)",
+        "outdeg as (select src, count(*) as n from triples group by src)",
+        f"r0 as (select node, {scale}::hugeint as r from nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} as (select t.dst, "
+            f"sum((r.r * {damping_pct} // 100) // d.n) as c "
+            f"from triples t join r{i - 1} r on r.node = t.src "
+            f"join outdeg d on d.src = t.src group by t.dst)")
+        ctes.append(
+            f"r{i} as (select n.node, "
+            f"{base}::hugeint + coalesce(c.c, 0::hugeint) as r "
+            f"from nodes n left join c{i} c on c.dst = n.node)")
+    return ("with " + ",\n".join(ctes) +
+            f"\nselect node, cast(r as bigint) as rank_e9 from r{iters}")
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
@@ -252,6 +284,7 @@ KG_ORACLES = {
     "kg_triples_by_repo": sql_triples_by_repo,
     # the resumable/checkpointed path must produce the identical triple set
     "kg_triples_resumable": sql_triples,
+    "kg_pagerank": sql_kg_pagerank,
     "nre_bags": sql_nre_bags,
     "mrc_answers": sql_mrc_answers,
     "ner_eval_prf": sql_ner_eval,

@@ -84,6 +84,20 @@ def q_triples(sf_dir: str):
     return kg_pipeline(sf_dir)
 
 
+def q_kg_pagerank(sf_dir: str):
+    """PageRank over the triple graph (file → entity edges from the full
+    flagship pipeline) — the iterative join+aggregate workload; exact
+    integer ranks, unrolled-CTE DuckDB oracle."""
+    from ..stages.graph import pagerank_dataset
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"src": batch["subj"],
+                                     "dst": batch["obj"]})
+    edges = kg_pipeline(sf_dir).map_batches(as_edges,
+                                            batch_format="pyarrow")
+    return pagerank_dataset(edges, iters=5)
+
+
 def q_nre_bags(sf_dir: str):
     """Bag-level relation aggregate (BagAttention analog) over file-scope
     pair instances — SQL-gated, window-function oracle."""
@@ -135,6 +149,7 @@ KG_QUERIES = {
     "kg_label_hist": q_label_hist,
     "kg_canonical": q_canonical,
     "kg_triples": q_triples,
+    "kg_pagerank": q_kg_pagerank,
     "nre_bags": q_nre_bags,
     "mrc_answers": q_mrc_answers,
 }

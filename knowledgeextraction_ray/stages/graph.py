@@ -1,0 +1,137 @@
+"""Graph analytics over the materialized triple graph.
+
+The KG output (``stages/triples``) is a graph: subjects (files) → objects
+(canonical entities). PageRank over it surfaces the load-bearing entities of
+a corpus — the canonical iterative-join workload a KG engine must run at
+scale. The reference stops at triple emission; this is the natural next
+stage (and a prompt-mandated "operator Ray Data lacks" case: iterative
+fixpoint = a loop of join + aggregate).
+
+Exact integer semantics (SQL-oracle-parity by construction, no float drift):
+
+- every node starts at ``scale`` (1e9);
+- per iteration, a node with out-degree d sends each successor
+  ``(r * damping_pct // 100) // d`` (two floor divisions, in that order);
+- new rank = ``scale * (100 - damping_pct) // 100`` + sum of incoming
+  contributions. Dangling nodes send nothing (their mass evaporates —
+  standard simplified PageRank; documented, matched by the oracle).
+
+Distribution: edges are the big side and STREAM; ranks/out-degrees are the
+small side and BROADCAST (``ray.put`` once per iteration, dereferenced once
+per worker). Per-batch contributions pre-aggregate by destination inside the
+task (combiner), and the per-iteration exchange is one ``bucketed_agg`` over
+destination nodes. The node table must fit one process in both modes (it is
+rebuilt on the driver between iterations to re-broadcast); for vocabularies
+beyond broadcast size the contribution join flips to a ``bucketed_join`` on
+src — the ``stages/joins`` machinery — at the cost of shuffling edges per
+iteration. ``mode="driver"`` (default below ``driver_limit`` edges) runs the
+same integer recurrence in one numpy process — measured-right at this
+sandbox's scale (a distributed groupby costs ~7-10 s fixed; see
+``stages/groupagg``); equality driver ≡ distributed is test-pinned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _pagerank_numpy(src: np.ndarray, dst: np.ndarray, n_nodes: int,
+                    iters: int, scale: int, damping_pct: int) -> np.ndarray:
+    """The exact integer recurrence over factorized edge arrays."""
+    outdeg = np.bincount(src, minlength=n_nodes).astype(np.int64)
+    base = scale * (100 - damping_pct) // 100
+    r = np.full(n_nodes, scale, dtype=np.int64)
+    safe_deg = np.maximum(outdeg, 1)
+    for _ in range(iters):
+        contrib = (r * damping_pct // 100) // safe_deg
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(acc, dst, contrib[src])
+        r = base + acc
+    return r
+
+
+def pagerank_edges(edges: pd.DataFrame, iters: int = 5, scale: int = 10**9,
+                   damping_pct: int = 85) -> pd.DataFrame:
+    """Driver-exact PageRank over a (src, dst) edge frame (edges assumed
+    distinct). Returns (node, rank_e9)."""
+    nodes = pd.unique(pd.concat([edges["src"], edges["dst"]],
+                                ignore_index=True))
+    idx = pd.Series(np.arange(len(nodes)), index=nodes)
+    src = idx[edges["src"]].to_numpy()
+    dst = idx[edges["dst"]].to_numpy()
+    r = _pagerank_numpy(src, dst, len(nodes), iters, scale, damping_pct)
+    return pd.DataFrame({"node": nodes, "rank_e9": r})
+
+
+class _Contrib:
+    """Per-worker state: the broadcast (node → (rank, outdeg)) arrays."""
+
+    def __init__(self, ref, damping_pct: int):
+        import ray
+        self.node2i, self.rank, self.outdeg = ray.get(ref)
+        self.damping_pct = damping_pct
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = (batch["src"].to_pandas().map(self.node2i)
+               .to_numpy(dtype=np.int64))
+        contrib = ((self.rank[src] * self.damping_pct // 100)
+                   // np.maximum(self.outdeg[src], 1))
+        out = (pd.DataFrame({"dst": batch["dst"].to_pandas(),
+                             "c": contrib})
+               .groupby("dst", sort=False)["c"].sum().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pagerank_dataset(edges_ds, iters: int = 5, scale: int = 10**9,
+                     damping_pct: int = 85, mode: str = "auto",
+                     driver_limit: int = 5_000_000,
+                     num_buckets: int = 32) -> pd.DataFrame:
+    """PageRank over a Dataset of (src, dst) string edges (duplicates are
+    deduplicated per mode — pandas on the driver, one bucketed distinct
+    distributed).
+
+    ``mode="driver"``: one numpy process. ``mode="distributed"``: edges
+    stream through a broadcast-ranks contribution stage + ``bucketed_agg``
+    per iteration (edges never sit on the driver). ``auto`` flips on edge
+    count. Both modes produce identical integer ranks (test-pinned)."""
+    import ray
+
+    from .groupagg import bucketed_agg
+    edges_ds = edges_ds.materialize()        # consumed once per iteration
+    n_edges = edges_ds.count()
+    if mode == "auto":
+        mode = "driver" if n_edges <= driver_limit else "distributed"
+    if mode == "driver":
+        return pagerank_edges(
+            edges_ds.to_pandas().drop_duplicates(ignore_index=True),
+            iters, scale, damping_pct)
+
+    # one bucketed distinct, then node vocab + out-degrees over it
+    edges_ds = bucketed_agg(edges_ds, ["src", "dst"],
+                            {}, num_buckets=num_buckets).materialize()
+    deg = bucketed_agg(edges_ds, ["src"], {}, num_buckets=num_buckets,
+                       count_alias="n").to_pandas()
+    dsts = sorted(edges_ds.select_columns(["dst"]).unique("dst"))
+    nodes = pd.unique(pd.concat([deg["src"], pd.Series(dsts, dtype=object)],
+                                ignore_index=True))
+    node2i = {n: i for i, n in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    outdeg[[node2i[s] for s in deg["src"]]] = deg["n"].to_numpy()
+
+    base = scale * (100 - damping_pct) // 100
+    rank = np.full(len(nodes), scale, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put((node2i, rank, outdeg))
+        partials = edges_ds.map_batches(
+            _Contrib, fn_constructor_kwargs={"ref": ref,
+                                             "damping_pct": damping_pct},
+            batch_format="pyarrow", batch_size=None,
+            concurrency=(1, 8))
+        summed = bucketed_agg(partials, ["dst"], {"c": ("c", "sum")},
+                              num_buckets=num_buckets).to_pandas()
+        rank = np.full(len(nodes), base, dtype=np.int64)
+        rank[[node2i[d] for d in summed["dst"]]] += \
+            summed["c"].to_numpy().astype(np.int64)
+    return pd.DataFrame({"node": nodes, "rank_e9": rank})

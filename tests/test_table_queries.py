@@ -274,6 +274,27 @@ def test_knn_ivf_finds_planted_neighbors():
         brute.reset_index(drop=True), full.reset_index(drop=True))
 
 
+def test_pagerank_semantics_and_mode_equality():
+    """Hub node outranks leaves; driver and distributed modes produce
+    IDENTICAL integer ranks (including under duplicate input edges)."""
+    from knowledgeextraction_ray.stages.graph import (pagerank_dataset,
+                                                      pagerank_edges)
+    # star into 'hub' + a chain; duplicates must not change the result
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "out"),
+             ("c", "d"), ("d", "c"), ("a", "hub")]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    drv = pagerank_dataset(ds, iters=5, mode="driver")
+    dist = pagerank_dataset(ds, iters=5, mode="distributed")
+    key = lambda df: df.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(drv), key(dist))
+    by = drv.set_index("node")["rank_e9"]
+    assert by["hub"] > by["a"] and by["hub"] > by["c"]
+    # dedup happened: same as the explicit-distinct frame
+    uniq = pd.DataFrame(sorted(set(edges)), columns=["src", "dst"])
+    pd.testing.assert_frame_equal(
+        key(drv), key(pagerank_edges(uniq, iters=5)))
+
+
 def test_stratified_sample_exact_k_and_deterministic():
     from knowledgeextraction_ray.stages.sampling import stratified_sample
     rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(90)]
