@@ -255,6 +255,26 @@ select doc_id, source from k5 where h < {threshold}::hugeint
 SQL_DOC_STRATIFIED_SAMPLE = _stratified_sample_sql()
 SQL_DOC_SAMPLE_RATE = _sample_rate_sql()
 
+SQL_DOC_INVERTED_INDEX = f"""
+with raw as (
+  select doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) as term
+  from documents),
+t as (select distinct doc_id, term from raw)
+select term, cast(count(*) as bigint) as df,
+       string_agg(cast(doc_id as varchar), ',' order by doc_id) as postings
+from t group by term
+"""
+
+SQL_DOC_BIGRAM_COUNTS = f"""
+with raw as (
+  select doc_id, regexp_extract_all(text, '{TOKEN_RE}') as l
+  from documents),
+pos as (select doc_id, l, unnest(range(1, len(l))) as i from raw),
+bi as (select l[i] as w1, l[i + 1] as w2 from pos)
+select w1, w2, cast(count(*) as bigint) as n
+from bi group by 1, 2 having count(*) >= 3
+"""
+
 SQL_EVENTS_WINDOW = """
 select user_id, date_trunc('hour', ts) as window_start,
        count(*) as n_events,
@@ -446,6 +466,8 @@ TABLE_ORACLES = {
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "doc_sample_rate": SQL_DOC_SAMPLE_RATE,
+    "doc_inverted_index": SQL_DOC_INVERTED_INDEX,
+    "doc_bigram_counts": SQL_DOC_BIGRAM_COUNTS,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "q1_pricing_summary": SQL_Q1,

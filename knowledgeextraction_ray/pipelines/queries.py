@@ -363,6 +363,18 @@ def q_doc_fingerprint(sf_dir: str):
         fingerprint_rows_batch, batch_format="pyarrow")
 
 
+def q_doc_inverted_index(sf_dir: str):
+    """Posting-list index build: term → (df, sorted comma-joined doc_ids)."""
+    from ..stages.text_analysis import inverted_index
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_bigram_counts(sf_dir: str):
+    """Corpus bigram counts (n-gram LM stats), min_count=3."""
+    from ..stages.text_analysis import bigram_counts
+    return bigram_counts(_docs(sf_dir, ["doc_id", "text"]), min_count=3)
+
+
 def q_doc_stratified_sample(sf_dir: str):
     """Exactly-k-per-source deterministic sample (splitmix64 key — the
     SQL oracle reproduces the key in hugeint limb arithmetic)."""
@@ -599,6 +611,8 @@ TABLE_QUERIES["knn_lsh"] = q_knn_lsh
 TABLE_QUERIES["doc_simhash"] = q_doc_simhash
 TABLE_QUERIES["doc_stratified_sample"] = q_doc_stratified_sample
 TABLE_QUERIES["doc_sample_rate"] = q_doc_sample_rate
+TABLE_QUERIES["doc_inverted_index"] = q_doc_inverted_index
+TABLE_QUERIES["doc_bigram_counts"] = q_doc_bigram_counts
 
 ROWS_ONLY_QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,

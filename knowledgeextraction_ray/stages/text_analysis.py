@@ -216,3 +216,81 @@ def tfidf_top_terms(ds, k: int = 5):
 
     return ds.map_batches(score_batch, fn_kwargs={"df_ref": df_ref},
                           batch_format="pyarrow", batch_size=None)
+
+
+def inverted_index(ds, num_buckets: int = 64):
+    """Posting-list index build: term → (df, postings).
+
+    The search-index construction pass of a corpus pipeline. Per-batch
+    (term, doc_id) pairs come from the vectorized ``_doc_term_tf`` explode
+    (already distinct per doc — a document is one row), then one bucketed
+    exchange on the term key assembles each term's sorted posting list.
+    ``postings`` is the comma-joined doc_id list in ascending order (what
+    the DuckDB ``string_agg(... order by doc_id)`` oracle emits); ``df`` is
+    its length. String-joining is per-term but each term's postings are
+    assembled exactly once, inside its bucket."""
+    import pandas as pd
+
+    from .groupagg import add_bucket_column
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(batch)
+        return pa.Table.from_pandas(tf[["term", "doc_id"]],
+                                    preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").groupby("term", sort=False)["doc_id"]
+        out = g.agg(df="size",
+                    postings=lambda s: ",".join(map(str, s)))
+        out["df"] = out["df"].astype(np.int64)
+        return out.reset_index()
+
+    return (ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+            .map_batches(lambda b: add_bucket_column(b, ["term"],
+                                                     num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def bigram_counts(ds, min_count: int = 3, num_buckets: int = 64):
+    """Corpus-level bigram counts (n-gram LM statistics).
+
+    Per-batch: zero-copy token explode (order-preserving), adjacent pairs
+    by array shift masked to same-document positions, pandas partial count
+    (the combiner); then one ``bucketed_agg`` sum over (w1, w2) and the
+    ``min_count`` filter. Empty split artifacts occur only at text edges,
+    so dropping them preserves real-token adjacency (≡ findall pairing)."""
+    import pandas as pd
+
+    from .groupagg import bucketed_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], "[^A-Za-z0-9_]+")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = np.diff(toks.offsets.to_numpy().astype(np.int64))
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(), lens)
+        terms = toks.values.to_pandas().to_numpy()
+        keep = terms != ""
+        doc_ids, terms = doc_ids[keep], terms[keep]
+        if len(terms) < 2:
+            return pa.Table.from_pydict(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())})
+        same = doc_ids[:-1] == doc_ids[1:]
+        out = (pd.DataFrame({"w1": terms[:-1][same], "w2": terms[1:][same]})
+               .groupby(["w1", "w2"], sort=False).size()
+               .to_frame("n").reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["w1", "w2"], {"n": ("n", "sum")}, num_buckets=num_buckets)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(batch.schema.get_field_index("n"), "n",
+                                 pc.cast(batch["n"], pa.int64()))
+        return batch.filter(pc.greater_equal(batch["n"], min_count))
+    return agg.map_batches(finalize, batch_format="pyarrow")
