@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data.aggregate import Min  # noqa: F401  (exact_dedup option)
 
 from ..functions.hashing import sha256_column
@@ -420,6 +421,80 @@ def dedup_components(pairs_pdf, all_ids=None):
     return pd.DataFrame(rows, columns=["doc_id", "component_id", "keep"])
 
 
+def dedup_components_distributed(pairs_ds, max_iters: int = 50):
+    """Connected components by MIN-LABEL PROPAGATION with dataset-resident
+    state — the scale path when even the pair list exceeds one machine
+    (driver union-find is ``dedup_components``; equality is test-pinned,
+    including multi-hop chains).
+
+    Labels live as a (node, label) Dataset. Each round sends every node's
+    label across its edges in both directions (two ``bucketed_join``s of the
+    edge list against the labels), takes the per-node min (one
+    ``bucketed_agg``), and stops at fixpoint — detected by the monotone
+    integer label sum, one cheap per-batch partial per round. Converges in
+    O(component diameter) rounds; LSH dedup graphs are shallow by
+    construction (over-limit buckets emit STAR pairs, diameter ≤ 2).
+
+    Returns a Dataset (doc_id, component_id, keep) over pair MEMBERS (join
+    against the corpus for non-members, as ``minhash_dedup_keep`` does with
+    its broadcast map)."""
+    import pandas as pd
+
+    from .groupagg import bucketed_agg
+    from .joins import bucketed_join
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch["doc_id_a"], pa.int64())
+        b = pc.cast(batch["doc_id_b"], pa.int64())
+        return pa.Table.from_pydict({"src": pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+             b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
+            "dst": pa.concat_arrays(
+            [b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+             a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a])})
+
+    edges = pairs_ds.map_batches(edge_rows,
+                                 batch_format="pyarrow").materialize()
+    labels = bucketed_agg(
+        edges.map_batches(lambda t: pa.Table.from_pydict(
+            {"node": t["src"], "label": t["src"]}), batch_format="pyarrow"),
+        ["node"], {"label": ("label", "min")}).materialize()
+
+    def label_sum(lab) -> int:
+        parts = lab.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"s": pa.array([pc.sum(t["label"]).as_py() or 0],
+                               pa.int64())}), batch_format="pyarrow")
+        return int(sum(r["s"] for r in parts.take_all()))
+
+    prev = label_sum(labels)
+    for _ in range(max_iters):
+        msgs = bucketed_join(edges, labels.map_batches(
+            lambda t: t.rename_columns(["src", "label"]),
+            batch_format="pyarrow"), on="src")
+        inbox = msgs.map_batches(
+            lambda t: pa.Table.from_pydict({"node": t["dst"],
+                                            "label": t["label"]}),
+            batch_format="pyarrow").union(labels)
+        labels = bucketed_agg(inbox, ["node"],
+                              {"label": ("label", "min")}).materialize()
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"label propagation did not converge in "
+                           f"{max_iters} rounds")
+
+    def finalize(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "doc_id": batch["node"].astype("int64"),
+            "component_id": batch["label"].astype("int64"),
+            "keep": batch["node"].to_numpy() == batch["label"].to_numpy(),
+        })
+    return labels.map_batches(finalize, batch_format="pandas")
+
+
 def _candidate_shingles(ds, cands, broadcast_limit: int,
                         shingle_k: int) -> dict:
     """{doc_id: sorted shingle-hash array} for docs appearing in candidate
@@ -487,17 +562,38 @@ def _verify_via_join(cands, ds, shingle_k: int = 5, num_buckets: int = 32):
     return j2.map_batches(score, batch_format="pyarrow")
 
 
-def minhash_dedup_keep(ds, threshold: float = 0.7, **kw):
+def minhash_dedup_keep(ds, threshold: float = 0.7,
+                       components: str = "driver", **kw):
     """End-to-end near-dedup: LSH candidates → verify → components →
     per-doc keep/drop Dataset (min-id representative per duplicate cluster).
 
-    Union-find runs on the driver over pair MEMBERS only (bounded by
-    near-dup density); the per-doc keep table is then produced distributed —
-    a broadcast member→component map applied in one ``map_batches`` scan, so
-    the full corpus id list never lands on the driver."""
+    ``components="driver"`` (default): union-find on the driver over pair
+    MEMBERS only (bounded by near-dup density); the per-doc keep table is
+    then produced distributed — a broadcast member→component map applied in
+    one ``map_batches`` scan, so the full corpus id list never lands on the
+    driver. ``components="distributed"``: the pair list itself never lands
+    anywhere — ``dedup_components_distributed`` label propagation, then a
+    left ``bucketed_join`` of the corpus ids against the component table
+    (non-members keep themselves). Mode equality is test-pinned."""
     import ray
     import ray.data as rd
-    pairs = minhash_dedup_pairs(ds, threshold=threshold, **kw).to_pandas()
+    pairs_ds = minhash_dedup_pairs(ds, threshold=threshold, **kw)
+    if components == "distributed":
+        from .joins import bucketed_join
+        comp_ds = dedup_components_distributed(pairs_ds).map_batches(
+            lambda t: t.drop_columns(["keep"]), batch_format="pyarrow")
+        joined = bucketed_join(ds.select_columns(["doc_id"]), comp_ds,
+                               on="doc_id", how="left")
+
+        def fill(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch["doc_id"], pa.int64())
+            comp = pc.coalesce(pc.cast(batch["component_id"], pa.int64()),
+                               ids)
+            return pa.Table.from_pydict({
+                "doc_id": ids, "component_id": comp,
+                "keep": pc.equal(ids, comp)})
+        return joined.map_batches(fill, batch_format="pyarrow")
+    pairs = pairs_ds.to_pandas()
     comp = dedup_components(pairs)
     ref = ray.put(dict(zip(comp["doc_id"].astype(int),
                            comp["component_id"].astype(int))))

@@ -232,6 +232,35 @@ def test_dedup_components_planted():
     assert by_id.loc[50, "keep"] and by_id.loc[50, "component_id"] == 50
 
 
+def test_dedup_components_distributed_equals_driver():
+    """Dataset-resident min-label propagation ≡ driver union-find, including
+    a multi-hop chain (diameter 3) that needs several rounds."""
+    from knowledgeextraction_ray.stages.dedup import (
+        dedup_components, dedup_components_distributed)
+    pairs = pd.DataFrame({"doc_id_a": [1, 2, 3, 10, 20, 21],
+                          "doc_id_b": [2, 3, 4, 11, 21, 22]})
+    drv = (dedup_components(pairs)
+           .sort_values("doc_id").reset_index(drop=True))
+    dist = (dedup_components_distributed(rd.from_pandas(pairs)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist)
+    assert set(drv[drv["component_id"] == 1]["doc_id"]) == {1, 2, 3, 4}
+
+
+def test_minhash_dedup_keep_mode_equality():
+    """End-to-end keep/drop: distributed label-propagation components ≡
+    driver union-find on the planted corpus."""
+    from knowledgeextraction_ray.stages.dedup import minhash_dedup_keep
+    rows = _docs_with_dupes()
+    cols = ["doc_id", "component_id", "keep"]
+
+    def run(mode):
+        return (minhash_dedup_keep(rd.from_items(rows), threshold=0.7,
+                                   components=mode).to_pandas()[cols]
+                .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(run("driver"), run("distributed"))
+
+
 def test_minhash_dedup_keep_planted():
     from knowledgeextraction_ray.stages.dedup import minhash_dedup_keep
     rows = _docs_with_dupes()
