@@ -243,6 +243,24 @@ from c, t
 """
 
 
+def sql_kg_hot_surfaces(sf_dir: str, top_n: int = 20) -> str:
+    """Skew profile oracle: per-surface counts, rank by (n desc, key asc),
+    integer ppm share of all mentions."""
+    return f"""
+with mentions as ({_mentions_cte(corpus_glob(sf_dir))}),
+c as (select lower(surface) as surface_norm, count(*) as n
+      from mentions group by 1),
+t as (select cast(sum(n) as bigint) as n_total from c)
+select surface_norm, cast(n as bigint) as n,
+       cast(row_number() over (order by n desc, surface_norm asc)
+            as bigint) as rank,
+       cast(n * 1000000 // n_total as bigint) as share_e6,
+       n_total
+from c cross join t
+qualify rank <= {top_n}
+"""
+
+
 def sql_kg_pagerank(sf_dir: str, iters: int = 5, scale: int = 10**9,
                     damping_pct: int = 85) -> str:
     """PageRank over the distinct (subj → obj) triple graph, the exact
@@ -285,6 +303,7 @@ KG_ORACLES = {
     # the resumable/checkpointed path must produce the identical triple set
     "kg_triples_resumable": sql_triples,
     "kg_pagerank": sql_kg_pagerank,
+    "kg_hot_surfaces": sql_kg_hot_surfaces,
     "nre_bags": sql_nre_bags,
     "mrc_answers": sql_mrc_answers,
     "ner_eval_prf": sql_ner_eval,

@@ -88,20 +88,26 @@ from q join e on e.vec_id <> q.q_id
 qualify rank <= 10
 """
 
-def _knn_lsh_sql(bits: int = 8, dim: int = 64, seed: int = 5,
-                 n_queries: int = 8, k: int = 10) -> str:
-    """knn_lsh oracle: the seeded hyperplane matrix is embedded as SQL
-    literals (repr round-trips float64 exactly), so the bucket filter is the
-    same on both sides; then exact cosine top-k among candidates."""
+def _hyperplane_bucket_expr(bits: int, dim: int, seed: int) -> str:
+    """SQL expression for the hyperplane-LSH bucket of a double list ``v``:
+    the seeded plane matrix is embedded as SQL literals (repr round-trips
+    float64 exactly), so the bucket assignment matches the numpy side."""
     from .stages.knn import lsh_planes
     planes = lsh_planes(dim, bits, seed)
 
     def plane_list(j: int) -> str:
         return "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
 
-    bucket = " + ".join(
+    return " + ".join(
         f"(case when list_dot_product(v, {plane_list(j)}) > 0"
         f" then {1 << j} else 0 end)" for j in range(bits))
+
+
+def _knn_lsh_sql(bits: int = 8, dim: int = 64, seed: int = 5,
+                 n_queries: int = 8, k: int = 10) -> str:
+    """knn_lsh oracle: literal-plane bucket filter, then exact cosine top-k
+    among candidates."""
+    bucket = _hyperplane_bucket_expr(bits, dim, seed)
     return f"""
 with e as (
   select vec_id, list_transform(embedding, x -> cast(x as double)) as v
@@ -122,6 +128,29 @@ qualify rank <= {k}
 
 
 SQL_KNN_LSH = _knn_lsh_sql()
+
+
+def _embedding_neardup_sql(threshold: float = 0.9, bits: int = 12,
+                           dim: int = 64, seed: int = 5) -> str:
+    """embedding_neardup oracle: same literal-plane bucket assignment as
+    ``stages/dedup.HyperplaneBucketer``, in-bucket self-join, cosine
+    threshold. On the provided embeddings the correct result is EMPTY at
+    threshold 0.9 (max pairwise cosine ≈ 0.51) — the gate pins that no
+    false pairs are emitted; planted pytest covers the positive case."""
+    bucket = _hyperplane_bucket_expr(bits, dim, seed)
+    return f"""
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings),
+b as (select vec_id, v, {bucket} as bucket from e)
+select a.vec_id as vec_id_a, b2.vec_id as vec_id_b,
+       list_cosine_similarity(a.v, b2.v) as cosine
+from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
+where list_cosine_similarity(a.v, b2.v) >= {threshold}
+"""
+
+
+SQL_EMBEDDING_NEARDUP = _embedding_neardup_sql()
 
 
 # --- exact uint64 arithmetic in SQL (hugeint limb helpers) -----------------
@@ -211,6 +240,99 @@ from documents d left join sh using (doc_id)
 
 
 SQL_DOC_SIMHASH = _simhash_sql()
+
+def _minhash_pairs_sql(num_hashes: int = 128, num_bands: int = 32,
+                       shingle_k: int = 5, seed: int = 7,
+                       max_bucket: int = 1000,
+                       threshold: float = 0.7) -> str:
+    """doc_minhash_pairs oracle — the full MinHash-LSH chain restated in
+    exact SQL arithmetic (every step is mod-2^61/2^64 integer math, so the
+    hugeint restatement is bit-identical to ``stages/dedup``):
+
+    1. distinct k-gram shingle hashes per doc: byte polynomial mod 2^64 via
+       the hex expansion (the fingerprint-oracle technique);
+    2. signature: 128 ``min`` aggregate columns of the seeded affine
+       permutations — ``(sh·a_i + b_i) mod 2^61`` (the numpy side wraps at
+       2^64 then masks to 61 bits; 2^61 | 2^64, so one mod suffices).
+       a/b literals come from the same ``RandomState(seed)`` draw;
+    3. band fragment hashes: the r-value polynomial fold mod 2^64, one
+       UNION ALL arm per band;
+    4. LSH buckets: all pairs (a < b) for buckets ≤ ``max_bucket``, STAR
+       pairs to the bucket min above it; ``n_bands`` = per-pair emission
+       count across buckets;
+    5. verify: exact shingle Jaccard via a pair ⋈ shingles ⋈ shingles
+       match count; threshold filter.
+
+    Assumes every doc has ≥ ``shingle_k`` bytes (the numpy side zero-pads
+    shorter docs; none exist in the provided tables)."""
+    import numpy as np
+    m61 = 1 << 61
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, m61, size=num_hashes).astype(np.uint64)
+    b = rs.randint(0, m61, size=num_hashes).astype(np.uint64)
+    r = num_hashes // num_bands
+    base = 1_000_003
+    powers = [pow(base, shingle_k - 1 - j, _M64) for j in range(shingle_k)]
+    gram = " + ".join(
+        f"(('0x' || substr(h, 2 * (p + {j}) + 1, 2))::bigint "
+        f"* {powers[j]}::hugeint)" for j in range(shingle_k))
+    sig_cols = ",\n       ".join(
+        f"min((sh * {int(a[i])}::hugeint + {int(b[i])}::hugeint) "
+        f"% {m61}::hugeint) as s{i}" for i in range(num_hashes))
+
+    def band_fold(bi: int) -> str:
+        acc = f"s{bi * r}"
+        for c in range(1, r):
+            acc = (f"(({acc}) * {base}::hugeint % {_M64}::hugeint "
+                   f"+ s{bi * r + c}) % {_M64}::hugeint")
+        return acc
+
+    band_arms = "\nunion all\n".join(
+        f"select doc_id, {bi} as band_id, {band_fold(bi)} as band_hash "
+        f"from sig" for bi in range(num_bands))
+    return f"""
+with hx as (select doc_id, hex(text) as h, length(hex(text)) // 2 as n
+            from documents),
+g as (select doc_id, unnest(range(0, n - {shingle_k} + 1)) as p, h
+      from hx where n >= {shingle_k}),
+sh0 as (select doc_id, ({gram}) % {_M64}::hugeint as sh from g),
+sh as (select distinct doc_id, sh from sh0),
+sig as (select doc_id,
+       {sig_cols}
+       from sh group by doc_id),
+bands as ({band_arms}),
+bk as (select band_id, band_hash, doc_id,
+              count(*) over (partition by band_id, band_hash) as bn,
+              min(doc_id) over (partition by band_id, band_hash) as bmin
+       from bands),
+allp as (
+  select x.doc_id as a, y.doc_id as b
+  from bk x join bk y on x.band_id = y.band_id
+   and x.band_hash = y.band_hash and x.doc_id < y.doc_id
+  where x.bn <= {max_bucket}
+  union all
+  select bmin as a, doc_id as b from bk
+  where bn > {max_bucket} and doc_id != bmin),
+cand as (select a as doc_id_a, b as doc_id_b,
+                cast(count(*) as bigint) as n_bands
+         from allp group by 1, 2),
+sizes as (select doc_id, count(*) as ns from sh group by 1),
+inter as (select c.doc_id_a, c.doc_id_b, count(*) as i
+          from cand c
+          join sh sa on sa.doc_id = c.doc_id_a
+          join sh sb on sb.doc_id = c.doc_id_b and sb.sh = sa.sh
+          group by 1, 2)
+select c.doc_id_a, c.doc_id_b, c.n_bands,
+       cast(coalesce(i.i, 0) as double)
+         / (za.ns + zb.ns - coalesce(i.i, 0)) as jaccard
+from cand c
+left join inter i on i.doc_id_a = c.doc_id_a and i.doc_id_b = c.doc_id_b
+join sizes za on za.doc_id = c.doc_id_a
+join sizes zb on zb.doc_id = c.doc_id_b
+where cast(coalesce(i.i, 0) as double)
+        / (za.ns + zb.ns - coalesce(i.i, 0)) >= {threshold}
+"""
+
 
 _SM_GAMMA = 0x9E3779B97F4A7C15
 
@@ -468,6 +590,7 @@ TABLE_ORACLES = {
     "doc_sample_rate": SQL_DOC_SAMPLE_RATE,
     "doc_inverted_index": SQL_DOC_INVERTED_INDEX,
     "doc_bigram_counts": SQL_DOC_BIGRAM_COUNTS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "q1_pricing_summary": SQL_Q1,

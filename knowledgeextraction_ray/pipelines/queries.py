@@ -84,6 +84,22 @@ def q_triples(sf_dir: str):
     return kg_pipeline(sf_dir)
 
 
+def q_kg_hot_surfaces(sf_dir: str):
+    """Skew diagnostic over the mention stream: top-20 hottest normalized
+    surfaces with integer ppm share — the measurement that sizes the
+    canonicalization salting (north-star hot keys: main/utils)."""
+    import pyarrow.compute as pc
+
+    from ..stages.profile import key_skew_profile
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"surface_norm": pc.utf8_lower(batch["surface"])})
+    return key_skew_profile(
+        _mentions(sf_dir).map_batches(norm, batch_format="pyarrow"),
+        "surface_norm", top_n=20)
+
+
 def q_kg_pagerank(sf_dir: str):
     """PageRank over the triple graph (file → entity edges from the full
     flagship pipeline) — the iterative join+aggregate workload; exact
@@ -150,6 +166,7 @@ KG_QUERIES = {
     "kg_canonical": q_canonical,
     "kg_triples": q_triples,
     "kg_pagerank": q_kg_pagerank,
+    "kg_hot_surfaces": q_kg_hot_surfaces,
     "nre_bags": q_nre_bags,
     "mrc_answers": q_mrc_answers,
 }
@@ -410,12 +427,22 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs, SQL-gated (literal-plane
+    bucket oracle). The correct result is EMPTY on the provided vectors at
+    threshold 0.9, and an all-empty ``map_groups`` output drops its schema
+    in ``to_pandas`` — so the typed empty frame is restored explicitly."""
+    import pandas as pd
     import ray.data as rd
 
     from ..stages.dedup import embedding_neardup_pairs
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.9)
+    pdf = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                            "vec_id_b": pd.Series(dtype="int64"),
+                            "cosine": pd.Series(dtype="float64")})
+    return pdf
 
 
 TABLE_QUERIES = {
@@ -613,11 +640,11 @@ TABLE_QUERIES["doc_stratified_sample"] = q_doc_stratified_sample
 TABLE_QUERIES["doc_sample_rate"] = q_doc_sample_rate
 TABLE_QUERIES["doc_inverted_index"] = q_doc_inverted_index
 TABLE_QUERIES["doc_bigram_counts"] = q_doc_bigram_counts
+TABLE_QUERIES["embedding_neardup"] = q_embedding_neardup
 
 ROWS_ONLY_QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "knn_ivf": q_knn_ivf,
-    "embedding_neardup": q_embedding_neardup,
     "ner_eval_prf": q_ner_eval_prf,
     "mrc_nbest": q_mrc_nbest,
     "nre_relations": q_nre_relations,

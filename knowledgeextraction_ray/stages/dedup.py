@@ -850,8 +850,8 @@ def simhash_dataset(ds):
 
 class HyperplaneBucketer:
     def __init__(self, dim: int = 64, bits: int = 12, seed: int = 5):
-        rs = np.random.RandomState(seed)
-        self.planes = rs.standard_normal((dim, bits))
+        from .knn import lsh_planes     # shared with the SQL-literal oracle
+        self.planes = lsh_planes(dim, bits, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
