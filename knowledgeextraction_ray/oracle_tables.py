@@ -297,9 +297,14 @@ g as (select doc_id, unnest(range(0, n - {shingle_k} + 1)) as p, h
       from hx where n >= {shingle_k}),
 sh0 as (select doc_id, ({gram}) % {_M64}::hugeint as sh from g),
 sh as (select distinct doc_id, sh from sh0),
-sig as (select doc_id,
+-- ``sig`` MATERIALIZED: it feeds all {num_bands} band arms, and DuckDB
+-- inlines CTEs — un-materialized, every arm re-evaluated the whole
+-- shingle scan (measured 18 s → 4 s at sf0.01; materializing the hugeint
+-- ``sh`` rows instead REGRESSED to 27 s)
+sig as materialized (select doc_id,
        {sig_cols}
        from sh group by doc_id),
+
 bands as ({band_arms}),
 bk as (select band_id, band_hash, doc_id,
               count(*) over (partition by band_id, band_hash) as bn,
@@ -333,6 +338,50 @@ where cast(coalesce(i.i, 0) as double)
         / (za.ns + zb.ns - coalesce(i.i, 0)) >= {threshold}
 """
 
+
+SQL_DOC_MINHASH_PAIRS = _minhash_pairs_sql()
+
+
+def _secret_scan_sql() -> str:
+    from .stages.text_analysis import SECRET_PATTERNS
+    cols = ",\n       ".join(
+        f"cast(len(regexp_extract_all(text, "
+        f"'{pat.replace(chr(39), chr(39) * 2)}')) as bigint) as {name}"
+        for name, pat in SECRET_PATTERNS.items())
+    anyflag = " + ".join(SECRET_PATTERNS)
+    return f"""
+with c as (
+  select doc_id,
+       {cols}
+  from documents)
+select *, ({anyflag}) > 0 as has_secret from c
+"""
+
+
+SQL_DOC_SECRET_SCAN = _secret_scan_sql()
+
+# non-empty = survives stripping space/tab/CR (explicit char set matching
+# the Ray side's pc.utf8_trim(" \\t\\r"))
+SQL_DOC_REPETITION = """
+with raw as (
+  select doc_id, unnest(string_split(text, chr(10))) as line
+  from documents),
+nl as (select doc_id, line from raw
+       where trim(line, ' ' || chr(9) || chr(13)) <> ''),
+per_line as (select doc_id, line, count(*) as n from nl group by 1, 2),
+agg as (select doc_id, cast(sum(n) as bigint) as n_lines,
+               cast(count(*) as bigint) as n_distinct_lines,
+               cast(max(n) as bigint) as max_line_freq
+        from per_line group by doc_id)
+select d.doc_id,
+       coalesce(a.n_lines, 0) as n_lines,
+       coalesce(a.n_distinct_lines, 0) as n_distinct_lines,
+       coalesce(a.max_line_freq, 0) as max_line_freq,
+       case when coalesce(a.n_lines, 0) > 0
+            then (a.n_lines - a.n_distinct_lines) * 1000000 // a.n_lines
+            else 0 end as dup_line_ppm
+from documents d left join agg a using (doc_id)
+"""
 
 _SM_GAMMA = 0x9E3779B97F4A7C15
 
@@ -591,6 +640,9 @@ TABLE_ORACLES = {
     "doc_inverted_index": SQL_DOC_INVERTED_INDEX,
     "doc_bigram_counts": SQL_DOC_BIGRAM_COUNTS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+    "doc_secret_scan": SQL_DOC_SECRET_SCAN,
+    "doc_repetition": SQL_DOC_REPETITION,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "q1_pricing_summary": SQL_Q1,

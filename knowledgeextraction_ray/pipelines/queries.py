@@ -380,6 +380,22 @@ def q_doc_fingerprint(sf_dir: str):
         fingerprint_rows_batch, batch_format="pyarrow")
 
 
+def q_doc_secret_scan(sf_dir: str):
+    """PII / credential scan (emails, URLs, key-shaped tokens, PEM private
+    keys, AWS key ids) — the redaction gate of a training-data pipeline."""
+    from ..stages.text_analysis import secret_scan_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        secret_scan_batch, batch_format="pyarrow")
+
+
+def q_doc_repetition(sf_dir: str):
+    """Repetition quality signals (Gopher-style): line counts, distinct
+    lines, max single-line frequency, integer ppm duplicate-line ratio."""
+    from ..stages.text_analysis import repetition_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow")
+
+
 def q_doc_inverted_index(sf_dir: str):
     """Posting-list index build: term → (df, sorted comma-joined doc_ids)."""
     from ..stages.text_analysis import inverted_index
@@ -641,9 +657,11 @@ TABLE_QUERIES["doc_sample_rate"] = q_doc_sample_rate
 TABLE_QUERIES["doc_inverted_index"] = q_doc_inverted_index
 TABLE_QUERIES["doc_bigram_counts"] = q_doc_bigram_counts
 TABLE_QUERIES["embedding_neardup"] = q_embedding_neardup
+TABLE_QUERIES["doc_minhash_pairs"] = q_doc_minhash_pairs
+TABLE_QUERIES["doc_secret_scan"] = q_doc_secret_scan
+TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 ROWS_ONLY_QUERIES = {
-    "doc_minhash_pairs": q_doc_minhash_pairs,
     "knn_ivf": q_knn_ivf,
     "ner_eval_prf": q_ner_eval_prf,
     "mrc_nbest": q_mrc_nbest,

@@ -294,3 +294,69 @@ def bigram_counts(ds, min_count: int = 3, num_buckets: int = 64):
                                  pc.cast(batch["n"], pa.int64()))
         return batch.filter(pc.greater_equal(batch["n"], min_count))
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# secret/PII scan patterns — RE2 subset shared verbatim with the DuckDB
+# oracle (pyarrow count_substring_regex and DuckDB regexp_extract_all are
+# both RE2, so counts agree exactly)
+SECRET_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s\"']+",
+    "n_api_keys": r"\b[A-Za-z0-9]{32,}\b",
+    "n_private_keys": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "n_aws_keys": r"\bAKIA[0-9A-Z]{16}\b",
+}
+
+
+def secret_scan_batch(batch: pa.Table) -> pa.Table:
+    """PII / credential scan — the redaction-or-drop gate of a training-data
+    pipeline. One vectorized RE2 count per pattern per batch; ``has_secret``
+    flags docs needing quarantine."""
+    cols: dict = {"doc_id": batch["doc_id"]}
+    flag = np.zeros(len(batch), dtype=bool)
+    for name, pat in SECRET_PATTERNS.items():
+        n = _count(batch["text"], pat)
+        cols[name] = n
+        flag |= n.to_numpy(zero_copy_only=False) > 0
+    cols["has_secret"] = pa.array(flag, pa.bool_())
+    return pa.Table.from_pydict(cols)
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Repetition-based quality signals (the Gopher/RefinedWeb rules a web
+    corpus is filtered on): per doc, the number of non-empty lines, distinct
+    non-empty lines, the highest single-line frequency, and the integer ppm
+    duplicate-line ratio ``(n_lines - n_distinct) · 1e6 // n_lines``.
+
+    Vectorized: one Arrow split on newline for the whole batch, zero-copy
+    explode via list offsets, one pandas per-(doc, line) count."""
+    import pandas as pd
+    lines = pc.split_pattern(batch["text"], "\n")
+    lines = (lines.combine_chunks()
+             if isinstance(lines, pa.ChunkedArray) else lines)
+    lens = np.diff(lines.offsets.to_numpy().astype(np.int64))
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(), lens)
+    vals = lines.values.to_pandas().to_numpy()
+    # "blank" = empty after stripping space/tab/CR — explicit char set so
+    # the DuckDB trim(line, ' '||chr(9)||chr(13)) filter agrees exactly
+    keep = pc.not_equal(pc.utf8_trim(lines.values, " \t\r"),
+                        "").to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"doc_id": doc_ids[keep], "line": vals[keep]})
+    per_line = (df.groupby(["doc_id", "line"], sort=False).size()
+                .to_frame("n").reset_index())
+    agg = per_line.groupby("doc_id", sort=False)["n"].agg(
+        n_lines="sum", n_distinct_lines="size", max_line_freq="max")
+    out = agg.reindex(batch["doc_id"].to_numpy(), fill_value=0)
+    n_lines = out["n_lines"].to_numpy().astype(np.int64)
+    n_dist = out["n_distinct_lines"].to_numpy().astype(np.int64)
+    dup_ppm = np.where(n_lines > 0,
+                       (n_lines - n_dist) * 1_000_000 // np.maximum(n_lines, 1),
+                       0)
+    return pa.Table.from_pydict({
+        "doc_id": batch["doc_id"],
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_distinct_lines": pa.array(n_dist, pa.int64()),
+        "max_line_freq": pa.array(
+            out["max_line_freq"].to_numpy().astype(np.int64), pa.int64()),
+        "dup_line_ppm": pa.array(dup_ppm.astype(np.int64), pa.int64()),
+    })
