@@ -342,6 +342,35 @@ where cast(coalesce(i.i, 0) as double)
 SQL_DOC_MINHASH_PAIRS = _minhash_pairs_sql()
 
 
+def _decontaminate_sql(shingle_k: int = 8, n_bench: int = 5,
+                       min_overlap: int = 2) -> str:
+    """doc_decontaminate oracle: distinct k-gram shingle hashes (the same
+    hex-expansion byte polynomial mod 2^64 as the minhash oracle), the
+    benchmark = docs with doc_id < n_bench, per-doc overlap count."""
+    powers = [pow(1_000_003, shingle_k - 1 - j, _M64)
+              for j in range(shingle_k)]
+    gram = " + ".join(
+        f"(('0x' || substr(h, 2 * (p + {j}) + 1, 2))::bigint "
+        f"* {powers[j]}::hugeint)" for j in range(shingle_k))
+    return f"""
+with hx as (select doc_id, hex(text) as h, length(hex(text)) // 2 as n
+            from documents),
+g as (select doc_id, unnest(range(0, n - {shingle_k} + 1)) as p, h
+      from hx where n >= {shingle_k}),
+sh0 as (select doc_id, ({gram}) % {_M64}::hugeint as sh from g),
+sh as (select distinct doc_id, sh from sh0),
+bench as (select distinct sh from sh where doc_id < {n_bench}),
+ov as (select s.doc_id, cast(count(*) as bigint) as n
+       from sh s join bench b using (sh) group by 1)
+select d.doc_id, coalesce(ov.n, 0) as n_overlap_shingles,
+       coalesce(ov.n, 0) >= {min_overlap} as contaminated
+from documents d left join ov using (doc_id)
+"""
+
+
+SQL_DOC_DECONTAMINATE = _decontaminate_sql()
+
+
 def _secret_scan_sql() -> str:
     from .stages.text_analysis import SECRET_PATTERNS
     cols = ",\n       ".join(
@@ -642,6 +671,7 @@ TABLE_ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_secret_scan": SQL_DOC_SECRET_SCAN,
+    "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "doc_repetition": SQL_DOC_REPETITION,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,

@@ -380,6 +380,21 @@ def q_doc_fingerprint(sf_dir: str):
         fingerprint_rows_batch, batch_format="pyarrow")
 
 
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing ≥ 2 distinct 8-gram
+    shingles with the probe set (docs 0-4 stand in as the benchmark) —
+    broadcast probe, zero-exchange scan."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import decontaminate
+    bench_tab = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "<", 5)])  # pushdown
+    bench = dict(zip((int(i) for i in bench_tab["doc_id"].to_pylist()),
+                     bench_tab["text"].to_pylist()))
+    return decontaminate(_docs(sf_dir, ["doc_id", "text"]), bench)
+
+
 def q_doc_secret_scan(sf_dir: str):
     """PII / credential scan (emails, URLs, key-shaped tokens, PEM private
     keys, AWS key ids) — the redaction gate of a training-data pipeline."""
@@ -659,6 +674,7 @@ TABLE_QUERIES["doc_bigram_counts"] = q_doc_bigram_counts
 TABLE_QUERIES["embedding_neardup"] = q_embedding_neardup
 TABLE_QUERIES["doc_minhash_pairs"] = q_doc_minhash_pairs
 TABLE_QUERIES["doc_secret_scan"] = q_doc_secret_scan
+TABLE_QUERIES["doc_decontaminate"] = q_doc_decontaminate
 TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 ROWS_ONLY_QUERIES = {

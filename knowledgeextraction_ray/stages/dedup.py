@@ -421,6 +421,42 @@ def dedup_components(pairs_pdf, all_ids=None):
     return pd.DataFrame(rows, columns=["doc_id", "component_id", "keep"])
 
 
+def decontaminate(ds, benchmark_texts: dict, shingle_k: int = 8,
+                  min_overlap: int = 2):
+    """Benchmark decontamination — flag corpus docs sharing ≥ ``min_overlap``
+    distinct k-gram shingles with ANY benchmark document (the eval-leak
+    filter every training-data pipeline runs before a model sees the data).
+
+    The benchmark side is tiny and BROADCASTS (``ray.put`` of one sorted
+    shingle-hash array, dereferenced once per worker); the corpus streams
+    through one stateless task stage doing a vectorized ``np.isin`` per doc
+    — zero exchange, zero corpus materialization. Returns (doc_id,
+    n_overlap_shingles, contaminated).
+
+    The same byte-polynomial shingle hash as MinHash (``_shingle_hashes``),
+    so the DuckDB oracle reuses the hex-expansion restatement."""
+    import ray
+    bench = np.unique(np.concatenate(
+        [_shingle_hashes(t, shingle_k) for t in benchmark_texts.values()])) \
+        if benchmark_texts else np.array([], dtype=np.uint64)
+    ref = ray.put(bench)
+
+    def scan(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..runtime import worker_state
+        key = _ref.hex() if hasattr(_ref, "hex") else id(_ref)
+        probe = worker_state(("decontam", key), lambda: ray.get(_ref))
+        out = np.empty(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            sh = _shingle_hashes(t, shingle_k)
+            out[i] = int(np.isin(sh, probe, assume_unique=True).sum())
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "n_overlap_shingles": pa.array(out, pa.int64()),
+            "contaminated": pa.array(out >= min_overlap, pa.bool_()),
+        })
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 def dedup_components_distributed(pairs_ds, max_iters: int = 50):
     """Connected components by MIN-LABEL PROPAGATION with dataset-resident
     state — the scale path when even the pair list exceeds one machine

@@ -303,6 +303,24 @@ def test_knn_ivf_finds_planted_neighbors():
         brute.reset_index(drop=True), full.reset_index(drop=True))
 
 
+def test_decontaminate_planted():
+    """A doc quoting a benchmark passage is flagged; unrelated docs pass."""
+    from knowledgeextraction_ray.stages.dedup import decontaminate
+    bench = {0: "the quick brown fox jumps over the lazy dog tonight"}
+    rows = [
+        {"doc_id": 10, "text": "completely unrelated body of words here"},
+        {"doc_id": 11, "text": "prefix THEN the quick brown fox jumps "
+                               "over THE REST differs"},       # quotes bench
+        {"doc_id": 12, "text": "zz"},                          # too short
+    ]
+    out = (decontaminate(rd.from_items(rows), bench, min_overlap=2)
+           .to_pandas().set_index("doc_id"))
+    assert not out.loc[10, "contaminated"]
+    assert out.loc[11, "contaminated"]
+    assert out.loc[11, "n_overlap_shingles"] > 10
+    assert out.loc[12, "n_overlap_shingles"] == 0
+
+
 def test_secret_scan_planted():
     from knowledgeextraction_ray.stages.text_analysis import (
         secret_scan_batch)
