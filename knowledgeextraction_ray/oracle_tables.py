@@ -371,6 +371,35 @@ from documents d left join ov using (doc_id)
 SQL_DOC_DECONTAMINATE = _decontaminate_sql()
 
 
+def _dedup_keep_sql() -> str:
+    """doc_dedup_keep oracle: verified minhash pairs (the full chain above)
+    → connected components as a recursive-CTE TRANSITIVE CLOSURE (exact for
+    any component diameter; closure row count is Σ component_size², bounded
+    by near-dup density) → min-member component ids, non-members keep
+    themselves. The closure recursion references the materialized edge
+    list once per step — unrolled min-label CTE chains re-evaluated the
+    whole minhash subtree per round (measured 34 s → 5 s)."""
+    return f"""
+with pairs as materialized ({_minhash_pairs_sql()}),
+e2 as materialized (select doc_id_a as src, doc_id_b as dst from pairs
+      union all select doc_id_b, doc_id_a from pairs),
+closure as (
+  with recursive r(a, b) as (
+    select src, dst from e2
+    union
+    select r.a, e2.dst from r join e2 on e2.src = r.b
+  ) select * from r),
+comp as (select a as node, least(a, min(b)) as component_id
+         from closure group by a)
+select d.doc_id, coalesce(c.component_id, d.doc_id) as component_id,
+       coalesce(c.component_id, d.doc_id) = d.doc_id as keep
+from documents d left join comp c on c.node = d.doc_id
+"""
+
+
+SQL_DOC_DEDUP_KEEP = _dedup_keep_sql()
+
+
 def _secret_scan_sql() -> str:
     from .stages.text_analysis import SECRET_PATTERNS
     cols = ",\n       ".join(
@@ -672,6 +701,7 @@ TABLE_ORACLES = {
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_secret_scan": SQL_DOC_SECRET_SCAN,
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
+    "doc_dedup_keep": SQL_DOC_DEDUP_KEEP,
     "doc_repetition": SQL_DOC_REPETITION,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,

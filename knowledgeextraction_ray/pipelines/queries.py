@@ -724,7 +724,7 @@ def q_doc_dedup_keep(sf_dir: str):
     return minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]))
 
 
-ROWS_ONLY_QUERIES["doc_dedup_keep"] = q_doc_dedup_keep
+TABLE_QUERIES["doc_dedup_keep"] = q_doc_dedup_keep
 
 
 def build_queries() -> dict:
