@@ -391,6 +391,26 @@ def test_stratified_sample_exact_k_and_deterministic():
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_splitmix64_known_vectors():
+    """Pin the sampling key to the published splitmix64 sequence (seed 0 →
+    first outputs), so a silent kernel change breaks loudly rather than
+    just re-deriving both sides of the oracle."""
+    from knowledgeextraction_ray.functions.hashing import splitmix64
+
+    def ref(x: int) -> int:          # scalar big-int reference
+        m = (1 << 64) - 1
+        z = (x + 0x9E3779B97F4A7C15) & m
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+        return z ^ (z >> 31)
+
+    got = splitmix64(np.array([0, 1, 2, 10**9], dtype=np.uint64))
+    # x=0 is the published first output of the seed-0 splitmix64 stream
+    assert got[0] == 0xE220A8397B1DCDAF == ref(0)
+    for x, g in zip([1, 2, 10**9], got[1:]):
+        assert int(g) == ref(x)
+
+
 def test_sample_by_rate_nested_and_unbiased():
     """Threshold sampling is NESTED (rate-0.2 sample ⊆ rate-0.5 sample) and
     close to the nominal rate."""
