@@ -218,7 +218,8 @@ def tfidf_top_terms(ds, k: int = 5):
                           batch_format="pyarrow", batch_size=None)
 
 
-def inverted_index(ds, num_buckets: int = 64):
+def inverted_index(ds, num_buckets: int = 64,
+                   max_postings: int | None = None):
     """Posting-list index build: term → (df, postings).
 
     The search-index construction pass of a corpus pipeline. Per-batch
@@ -228,7 +229,13 @@ def inverted_index(ds, num_buckets: int = 64):
     ``postings`` is the comma-joined doc_id list in ascending order (what
     the DuckDB ``string_agg(... order by doc_id)`` oracle emits); ``df`` is
     its length. String-joining is per-term but each term's postings are
-    assembled exactly once, inside its bucket."""
+    assembled exactly once, inside its bucket.
+
+    At corpus scale a stop-word's posting list is the whole corpus — one
+    multi-GB cell. ``max_postings`` caps the stored list at the N smallest
+    doc_ids while ``df`` stays exact (the cap is a storage decision; real
+    systems shard or elide stop-word postings). Default None = full lists
+    (the oracle-parity configuration)."""
     import pandas as pd
 
     from .groupagg import add_bucket_column
@@ -240,8 +247,10 @@ def inverted_index(ds, num_buckets: int = 64):
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").groupby("term", sort=False)["doc_id"]
-        out = g.agg(df="size",
-                    postings=lambda s: ",".join(map(str, s)))
+        join = ((lambda s: ",".join(map(str, s)))
+                if max_postings is None else
+                (lambda s: ",".join(map(str, s.iloc[:max_postings]))))
+        out = g.agg(df="size", postings=join)
         out["df"] = out["df"].astype(np.int64)
         return out.reset_index()
 

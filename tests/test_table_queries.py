@@ -391,6 +391,16 @@ def test_stratified_sample_exact_k_and_deterministic():
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_inverted_index_posting_cap():
+    """max_postings caps stored lists while df stays exact."""
+    from knowledgeextraction_ray.stages.text_analysis import inverted_index
+    rows = [{"doc_id": i, "text": "common word%d" % i} for i in range(6)]
+    out = (inverted_index(rd.from_items(rows), max_postings=3).to_pandas()
+           .set_index("term"))
+    assert out.loc["common", "df"] == 6
+    assert out.loc["common", "postings"] == "0,1,2"
+
+
 def test_splitmix64_known_vectors():
     """Pin the sampling key to the published splitmix64 sequence (seed 0 →
     first outputs), so a silent kernel change breaks loudly rather than
