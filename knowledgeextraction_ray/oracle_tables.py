@@ -10,6 +10,8 @@ both sides is RE2 (pyarrow and DuckDB), so regex counts agree exactly.
 
 from __future__ import annotations
 
+import numpy as np
+
 from .stages.text_analysis import (BPE_TOKEN_RE, LANG_MARKERS, PUNCT_RE,
                                    STOPWORD_RE, TOKEN_RE)
 
@@ -398,6 +400,68 @@ from documents d left join comp c on c.node = d.doc_id
 
 
 SQL_DOC_DEDUP_KEEP = _dedup_keep_sql()
+
+
+def _knn_ivf_sql(sf_dir: str, k: int = 10, n_clusters: int = 16,
+                 n_probe: int = 4, sample_size: int = 2000,
+                 seed: int = 13, n_queries: int = 8) -> str:
+    """knn_ivf oracle: retrain the IDENTICAL coarse quantizer from the raw
+    parquet (the sample is a deterministic splitmix64-keyed head, the
+    k-means is seeded numpy — both shared verbatim with the Ray stage via
+    ``stages.knn.ivf_quantizer``), embed the centroids as SQL literals,
+    assign each row its first-argmin cell through an ordered case chain
+    (clause i fires iff d_i ≤ d_j ∀ j>i — exactly numpy argmin's
+    first-minimal-index rule), filter to the queries' probed cells, exact
+    cosine top-k among candidates."""
+    import pyarrow.parquet as pq
+
+    from .stages.knn import ivf_quantizer
+    rows = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).to_pandas()
+    centroids = ivf_quantizer(rows, n_clusters, sample_size, seed)
+    qm = np.array(
+        rows[rows["vec_id"] < n_queries].sort_values("vec_id")
+        ["embedding"].tolist(), dtype=np.float64)
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = sorted(set(np.argsort(qd, axis=1)[:, :n_probe].ravel()
+                       .tolist()))
+
+    def c_list(j: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in centroids[j]) + "]"
+
+    n_c = len(centroids)
+    dists = ",\n       ".join(
+        f"list_distance(v, {c_list(j)}) as d{j}" for j in range(n_c))
+    argmin = " ".join(
+        f"when " + " and ".join(f"d{i} <= d{j}" for j in range(i + 1, n_c))
+        + f" then {i}" for i in range(n_c - 1)) + f" else {n_c - 1}"
+    return f"""
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings),
+d as (select vec_id, v,
+       {dists}
+      from e),
+cells as (select vec_id, v, (case {argmin} end) as cell from d),
+q as (select vec_id as q_id, v as qv from e where vec_id < {n_queries}),
+cand as (select vec_id, v from cells where cell in
+         ({", ".join(str(int(p)) for p in probe)}))
+select q_id, vec_id as neighbor_id,
+       cast(row_number() over (
+         partition by q_id
+         order by list_cosine_similarity(qv, v) desc, vec_id asc)
+         as bigint) as rank,
+       round(list_cosine_similarity(qv, v), 6) as sim
+from q join cand on cand.vec_id <> q.q_id
+qualify rank <= {k}
+"""
+
+
+# sf-dependent oracles over the provided tables (need the parquet path at
+# build time — e.g. to retrain the IVF quantizer deterministically)
+TABLE_ORACLE_BUILDERS = {
+    "knn_ivf": _knn_ivf_sql,
+}
 
 
 def _secret_scan_sql() -> str:

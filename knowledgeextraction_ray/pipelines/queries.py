@@ -677,8 +677,9 @@ TABLE_QUERIES["doc_secret_scan"] = q_doc_secret_scan
 TABLE_QUERIES["doc_decontaminate"] = q_doc_decontaminate
 TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
+TABLE_QUERIES["knn_ivf"] = q_knn_ivf
+
 ROWS_ONLY_QUERIES = {
-    "knn_ivf": q_knn_ivf,
     "ner_eval_prf": q_ner_eval_prf,
     "mrc_nbest": q_mrc_nbest,
     "nre_relations": q_nre_relations,
@@ -738,7 +739,9 @@ def build_queries() -> dict:
 def build_oracles(sf_dir: str) -> dict:
     """Oracle SQL per query name (rows-only queries intentionally absent)."""
     from ..oracle import KG_ORACLES
-    from ..oracle_tables import TABLE_ORACLES
+    from ..oracle_tables import TABLE_ORACLE_BUILDERS, TABLE_ORACLES
     out = {name: builder(sf_dir) for name, builder in KG_ORACLES.items()}
     out.update(TABLE_ORACLES)
+    out.update({name: builder(sf_dir)
+                for name, builder in TABLE_ORACLE_BUILDERS.items()})
     return out

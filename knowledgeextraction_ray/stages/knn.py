@@ -124,22 +124,60 @@ def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 15,
     return centroids
 
 
+def ivf_sample_matrix(rows: pd.DataFrame, sample_size: int) -> np.ndarray:
+    """Deterministic k-means training sample: the rows whose splitmix64
+    (vec_id) key is smallest, in vec_id order — a pure function of the
+    table, so the DuckDB oracle's builder retrains the IDENTICAL quantizer
+    from the raw parquet (``Dataset.random_sample`` depends on block
+    layout and Ray internals; this does not)."""
+    from ..functions.hashing import splitmix64
+    rows = rows.copy()
+    rows["__key"] = splitmix64(rows["vec_id"].to_numpy())
+    rows = (rows.sort_values("__key", kind="mergesort").head(sample_size)
+            .sort_values("vec_id", kind="mergesort"))
+    return np.array(rows["embedding"].tolist(), dtype=np.float64)
+
+
+def ivf_quantizer(rows: pd.DataFrame, n_clusters: int, sample_size: int,
+                  seed: int) -> np.ndarray:
+    """Sample + train — shared verbatim by the Ray stage and the oracle
+    builder so the centroid literals match bit-exactly."""
+    sm = ivf_sample_matrix(rows, sample_size)
+    return _kmeans(sm, min(n_clusters, len(sm)), seed=seed)
+
+
 def knn_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
             n_probe: int = 4, sample_size: int = 2000,
             seed: int = 13) -> pd.DataFrame:
     """IVF-style approximate top-k: a k-means coarse quantizer (trained on a
-    driver-side SAMPLE — the classic IVF recipe) partitions the corpus; each
-    query scans only its ``n_probe`` nearest cells.
+    deterministic driver-side SAMPLE — the classic IVF recipe) partitions
+    the corpus; each query scans only its ``n_probe`` nearest cells.
 
     One pass assigns cells (centroids broadcast in the task closure — a few
     KB); the scan is the same broadcast-query brute kernel restricted to the
-    probed cells. Recall grows with n_probe; exactness is knn_brute."""
-    sample = (ds.select_columns(["embedding"])
-              .random_sample(min(1.0, sample_size / max(1, ds.count())),
-                             seed=seed)
-              .to_pandas())
-    sm = np.array(sample["embedding"].tolist(), dtype=np.float64)
-    centroids = _kmeans(sm, min(n_clusters, len(sm)), seed=seed)
+    probed cells. Recall grows with n_probe; exactness is knn_brute. The
+    deterministic sample makes the whole operator a pure function of the
+    table — SQL-gated via centroid literals."""
+    if sample_size >= ds.count():
+        sample_rows = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    else:
+        from ..functions.hashing import splitmix64
+
+        def over_sample(batch: pa.Table) -> pa.Table:
+            # keep a superset cheaply: per-batch smallest keys; the exact
+            # global head(sample_size) cut happens on the driver
+            import pandas as pd_
+            df = pd_.DataFrame({
+                "vec_id": batch["vec_id"].to_numpy(),
+                "embedding": batch["embedding"].to_pylist()})
+            key = splitmix64(df["vec_id"].to_numpy())
+            order = np.argsort(key, kind="stable")[:sample_size]
+            return pa.Table.from_pandas(df.iloc[order],
+                                        preserve_index=False)
+        sample_rows = (ds.select_columns(["vec_id", "embedding"])
+                       .map_batches(over_sample, batch_format="pyarrow")
+                       .to_pandas())
+    centroids = ivf_quantizer(sample_rows, n_clusters, sample_size, seed)
 
     q_tab = _query_side(ds, query_ids).sort_values("vec_id")
     qm = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
