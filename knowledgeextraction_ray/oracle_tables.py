@@ -402,6 +402,35 @@ from documents d left join comp c on c.node = d.doc_id
 SQL_DOC_DEDUP_KEEP = _dedup_keep_sql()
 
 
+def _curation_sql() -> str:
+    """doc_curation oracle: the end-to-end curation verdict assembled from
+    the SAME SQL pieces that gate the individual stages (quality, secret
+    scan, exact-dedup representative, minhash-closure keep) — so stage
+    WIRING errors fail the hash, not just kernel bugs."""
+    return f"""
+with q as (select doc_id, quality_ok from ({SQL_DOC_QUALITY}) t),
+sec as (select doc_id, has_secret from ({SQL_DOC_SECRET_SCAN}) t),
+exact as (select min(doc_id) as doc_id, true as is_exact_rep
+          from documents group by sha256(text)),
+keepres as (select doc_id, keep from ({SQL_DOC_DEDUP_KEEP}) t)
+select d.doc_id, q.quality_ok, sec.has_secret,
+       coalesce(e.is_exact_rep, false) as is_exact_rep,
+       k.keep as near_keep,
+       (q.quality_ok and not sec.has_secret
+        and coalesce(e.is_exact_rep, false) and k.keep) as kept,
+       case when not q.quality_ok then 'low_quality'
+            when sec.has_secret then 'secret'
+            when not coalesce(e.is_exact_rep, false) then 'exact_dup'
+            when not k.keep then 'near_dup'
+            else 'kept' end as reason
+from documents d
+join q using (doc_id)
+join sec using (doc_id)
+left join exact e using (doc_id)
+join keepres k using (doc_id)
+"""
+
+
 def _knn_ivf_sql(sf_dir: str, k: int = 10, n_clusters: int = 16,
                  n_probe: int = 4, sample_size: int = 2000,
                  seed: int = 13, n_queries: int = 8) -> str:
@@ -766,6 +795,8 @@ TABLE_ORACLES = {
     "doc_secret_scan": SQL_DOC_SECRET_SCAN,
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "doc_dedup_keep": SQL_DOC_DEDUP_KEEP,
+    # assembled last: composes the quality/secret/dedup SQL above
+    "doc_curation": _curation_sql(),
     "doc_repetition": SQL_DOC_REPETITION,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,

@@ -380,6 +380,14 @@ def q_doc_fingerprint(sf_dir: str):
         fingerprint_rows_batch, batch_format="pyarrow")
 
 
+def q_doc_curation(sf_dir: str):
+    """End-to-end curation flagship: fused quality+secret gates, exact
+    dedup, MinHash near-dedup keep, composed verdict + reason — gated by
+    one oracle assembled from the stage oracles."""
+    from .curation import curation_pipeline
+    return curation_pipeline(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing ≥ 2 distinct 8-gram
     shingles with the probe set (docs 0-4 stand in as the benchmark) —
@@ -675,6 +683,7 @@ TABLE_QUERIES["embedding_neardup"] = q_embedding_neardup
 TABLE_QUERIES["doc_minhash_pairs"] = q_doc_minhash_pairs
 TABLE_QUERIES["doc_secret_scan"] = q_doc_secret_scan
 TABLE_QUERIES["doc_decontaminate"] = q_doc_decontaminate
+TABLE_QUERIES["doc_curation"] = q_doc_curation
 TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf

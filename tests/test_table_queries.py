@@ -303,6 +303,28 @@ def test_knn_ivf_finds_planted_neighbors():
         brute.reset_index(drop=True), full.reset_index(drop=True))
 
 
+def test_curation_pipeline_planted():
+    """Verdicts + first-failing-gate reasons on planted docs: an exact dup
+    pair, a secret doc, and a good doc."""
+    from knowledgeextraction_ray.pipelines.curation import curation_pipeline
+    good = ("the quick brown fox jumps of the dog and then the fox runs "
+            "to a large house of words with many more tokens inside it. " * 3)
+    rows = [
+        {"doc_id": 0, "text": good},
+        {"doc_id": 1, "text": good},                      # exact dup of 0
+        {"doc_id": 2, "text": good + " email bob@example.com"},  # secret
+        {"doc_id": 3, "text": "x y"},                     # low quality
+    ]
+    out = (curation_pipeline(rd.from_items(rows)).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc[0, "kept"] and out.loc[0, "reason"] == "kept"
+    assert not out.loc[1, "kept"]
+    # doc 1 fails BOTH exact-dup and near-dup; exact_dup is first in order
+    assert out.loc[1, "reason"] == "exact_dup"
+    assert out.loc[2, "reason"] == "secret" and not out.loc[2, "kept"]
+    assert out.loc[3, "reason"] == "low_quality"
+
+
 def test_decontaminate_planted():
     """A doc quoting a benchmark passage is flagged; unrelated docs pass."""
     from knowledgeextraction_ray.stages.dedup import decontaminate
