@@ -269,14 +269,20 @@ def sql_kg_pagerank(sf_dir: str, iters: int = 5, scale: int = 10**9,
     divisions), new rank = base + incoming sum; dangling mass evaporates on
     both sides identically."""
     base = scale * (100 - damping_pct) // 100
+    # triples/nodes/outdeg are consumed by every c_i/r_i — DuckDB INLINES
+    # CTEs, so without `as materialized` the whole mentions-extraction
+    # subtree re-evaluates ~4·iters+2 times per run (the CLAUDE.md fan-out
+    # pitfall; r2 ADVICE item)
     ctes = [
         _linked_ctes(sf_dir),
-        "triples as (select distinct l.repo || ':' || l.path as src, "
+        "triples as materialized (select distinct "
+        "l.repo || ':' || l.path as src, "
         "c.entity_id as dst from linked l join canonical c "
         "using (surface_norm))",
-        "nodes as (select src as node from triples "
+        "nodes as materialized (select src as node from triples "
         "union select dst from triples)",
-        "outdeg as (select src, count(*) as n from triples group by src)",
+        "outdeg as materialized (select src, count(*) as n "
+        "from triples group by src)",
         f"r0 as (select node, {scale}::hugeint as r from nodes)",
     ]
     for i in range(1, iters + 1):

@@ -93,7 +93,18 @@ qualify rank <= 10
 def _hyperplane_bucket_expr(bits: int, dim: int, seed: int) -> str:
     """SQL expression for the hyperplane-LSH bucket of a double list ``v``:
     the seeded plane matrix is embedded as SQL literals (repr round-trips
-    float64 exactly), so the bucket assignment matches the numpy side."""
+    float64 exactly), so the bucket assignment matches the numpy side.
+
+    NEAR-TIE ASSUMPTION (knn_lsh / knn_ivf / embedding_neardup gates): the
+    plane/centroid literals are exact, but the DOT PRODUCTS are accumulated
+    in different orders (numpy pairwise summation vs DuckDB's sequential
+    ``list_dot_product``), so a dot product within ~1 ulp of 0 (or an IVF
+    cell distance within ~1 ulp of a tie) could assign differently on the
+    two sides and flip the gate. Verified not to occur on the provided
+    embeddings (min |dot| and min cell-distance gap are ~1e-2, checked in
+    ``tests/test_table_queries.py::test_lsh_oracle_margins``); regenerated
+    inputs with near-degenerate vectors would need scaled-int quantization
+    of the dot products on both sides instead."""
     from .stages.knn import lsh_planes
     planes = lsh_planes(dim, bits, seed)
 
@@ -203,18 +214,21 @@ def _simhash_sql(seed: int = 11) -> str:
         f"(case when 2 * v{b} > n then {1 << b}::hugeint else 0::hugeint end)"
         for b in range(64))
     return f"""
-with recursive powers(e, pw) as (
-  select 0, 1::hugeint
-  union all
-  select e + 1, (pw * 1000003::hugeint) % {m}::hugeint
-  from powers where e < 512),
-toks as (
+with recursive toks as (
   select doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) as tok
   from documents),
 tb as (
   select row_number() over () as tid, doc_id,
          hex(tok) as hx, length(hex(tok)) // 2 as L
   from toks),
+-- powers bound derived from the actual max token length (the numpy
+-- SimHasher grows its table on demand; a fixed cap would silently drop
+-- bytes of over-long tokens — r2 ADVICE item)
+powers(e, pw) as (
+  select 0, 1::hugeint
+  union all
+  select e + 1, (pw * 1000003::hugeint) % {m}::hugeint
+  from powers where e < (select coalesce(max(L), 1) from tb)),
 bytes as (
   select tid, doc_id, L, hx, unnest(range(0, L)) as i from tb),
 h0 as (

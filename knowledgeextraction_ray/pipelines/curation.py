@@ -64,11 +64,12 @@ def curation_pipeline(ds, neardup_threshold: float = 0.7,
         })
 
     def rep_flags(g):
+        from ..functions.tables import from_pandas_clean
         g = g.drop(columns=["__bucket"])
         g["is_exact_rep"] = (g["doc_id"] ==
                              g.groupby("text_sha")["doc_id"]
                              .transform("min")).astype("int8")
-        return g[["doc_id", "is_exact_rep"]]
+        return from_pandas_clean(g[["doc_id", "is_exact_rep"]])
 
     reps = (ds.map_batches(sha_rows, batch_format="pyarrow")
             .map_batches(lambda b: add_bucket_column(b, ["text_sha"],

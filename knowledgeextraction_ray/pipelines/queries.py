@@ -13,6 +13,7 @@ from ray.data.aggregate import Count
 
 from ..config import PipelineConfig
 from ..functions.hashing import sha256_column
+from ..functions.tables import read_parquet_clean
 from .kg import kg_pipeline, linked_mentions, read_corpus
 from ..stages.canonicalize import canonicalize_dataset
 from ..stages.ner_scorer import score_dataset
@@ -177,8 +178,8 @@ KG_QUERIES = {
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ..functions.tables import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def q_doc_tfidf(sf_dir: str):
@@ -212,7 +213,7 @@ def q_embedding_centroids(sf_dir: str):
     import ray.data as rd
 
     from ..stages.vectorops import label_centroids
-    return label_centroids(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    return label_centroids(read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                            columns=["label", "embedding"]))
 
 
@@ -237,7 +238,7 @@ def q_knn_topk(sf_dir: str):
     import ray.data as rd
 
     from ..stages.knn import knn_brute
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return knn_brute(ds, query_ids=list(range(8)), k=10)
 
@@ -246,14 +247,14 @@ def q_events_window(sf_dir: str):
     import ray.data as rd
 
     from ..stages.windows import tumbling_window
-    return tumbling_window(rd.read_parquet(f"{sf_dir}/events.parquet",
+    return tumbling_window(read_parquet_clean(f"{sf_dir}/events.parquet",
                                            columns=["user_id", "ts",
                                                     "value"]))
 
 
 def _events(sf_dir: str, columns):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from ..functions.tables import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def q_events_asof(sf_dir: str):
@@ -276,7 +277,7 @@ def q_events_sessions(sf_dir: str):
     import ray.data as rd
 
     from ..stages.windows import sessionize
-    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet",
+    return sessionize(read_parquet_clean(f"{sf_dir}/events.parquet",
                                       columns=["user_id", "ts"]))
 
 
@@ -451,7 +452,7 @@ def q_knn_lsh(sf_dir: str):
     import ray.data as rd
 
     from ..stages.knn import knn_lsh
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return knn_lsh(ds, query_ids=list(range(8)), k=10)
 
@@ -460,7 +461,7 @@ def q_knn_ivf(sf_dir: str):
     import ray.data as rd
 
     from ..stages.knn import knn_ivf
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return knn_ivf(ds, query_ids=list(range(8)), k=10)
 
@@ -474,7 +475,7 @@ def q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
     from ..stages.dedup import embedding_neardup_pairs
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     pdf = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
     if pdf.empty:
@@ -635,15 +636,16 @@ def q_doc_token_stats(sf_dir: str):
         counted = token_count_batch(batch)
         return counted.append_column("lang", batch["lang"])
 
-    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+    def per_lang(g: pd.DataFrame):
+        from ..functions.tables import from_pandas_clean
         v = g["n_tokens"].to_numpy()
-        return pd.DataFrame({
+        return from_pandas_clean(pd.DataFrame({
             "lang": [g["lang"].iloc[0]],
             "n_docs": [len(v)],
             "min_tokens": [int(v.min())],
             "max_tokens": [int(v.max())],
             "median_tokens": [float(np.median(v))],
-        })
+        }))
 
     return (_docs(sf_dir, ["doc_id", "lang", "text"])
             .map_batches(add_lang, batch_format="pyarrow")
@@ -658,7 +660,7 @@ def q_events_sliding_window(sf_dir: str):
     import ray.data as rd
 
     from ..stages.windows import sliding_window
-    return sliding_window(rd.read_parquet(f"{sf_dir}/events.parquet",
+    return sliding_window(read_parquet_clean(f"{sf_dir}/events.parquet",
                                           columns=["user_id", "ts",
                                                    "value"]))
 

@@ -113,11 +113,13 @@ def _decode_batch(batch: pa.Table) -> pa.Table:
 def _combine_bucket(g):
     """Vectorized in-bucket combine: min best_key + sum counts per
     (surface_norm, salt) — associative, so bucket layout is irrelevant."""
-    return (g.drop(columns=["bucket"])
-            .groupby(["surface_norm", "salt"], sort=False)
-            .agg(best_key=("best_key", "min"),
-                 n_mentions=("n_mentions", "sum"))
-            .reset_index())
+    from ..functions.tables import from_pandas_clean
+    return from_pandas_clean(
+        g.drop(columns=["bucket"])
+        .groupby(["surface_norm", "salt"], sort=False)
+        .agg(best_key=("best_key", "min"),
+             n_mentions=("n_mentions", "sum"))
+        .reset_index())
 
 
 def _finalize_bucket(g):
@@ -127,7 +129,9 @@ def _finalize_bucket(g):
                 n_mentions=("n_mentions", "sum"))
            .reset_index())
     out["salt"] = 0
-    return out[["surface_norm", "salt", "best_key", "n_mentions"]]
+    from ..functions.tables import from_pandas_clean
+    return from_pandas_clean(
+        out[["surface_norm", "salt", "best_key", "n_mentions"]])
 
 
 def _with_bucket(ds, cols, num_buckets: int = 32):
@@ -195,7 +199,8 @@ def canonicalize_dataset(linked_ds, num_salts: int = 8,
         merged["entity_id"] = ents
         merged["prior"] = priors
         out = merged[["surface_norm", "entity_id", "prior", "n_mentions"]]
-        return rd.from_pandas(out.reset_index(drop=True))
+        from ..functions.tables import from_pandas_clean
+        return rd.from_arrow(from_pandas_clean(out.reset_index(drop=True)))
     combined = (_with_bucket(partials, ["surface_norm", "salt"])
                 .groupby("bucket")
                 .map_groups(_combine_bucket, batch_format="pandas"))

@@ -223,11 +223,13 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
             # encode the pair as one int64 (doc ids are < 2^31 here)
             chunks.append(ids[i].astype(np.int64) * (1 << 31) + ids[j])
         if not chunks:
-            return pd.DataFrame({"pair_key": pd.Series([], dtype="int64"),
-                                 "n_bands": pd.Series([], dtype="int64")})
+            return pa.Table.from_pydict(
+                {"pair_key": pa.array([], pa.int64()),
+                 "n_bands": pa.array([], pa.int64())})
         keys, counts = np.unique(np.concatenate(chunks), return_counts=True)
-        return pd.DataFrame({"pair_key": keys,
-                             "n_bands": counts.astype(np.int64)})
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(pd.DataFrame(
+            {"pair_key": keys, "n_bands": counts.astype(np.int64)}))
 
     pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("coarse")
@@ -522,12 +524,13 @@ def dedup_components_distributed(pairs_ds, max_iters: int = 50):
         raise RuntimeError(f"label propagation did not converge in "
                            f"{max_iters} rounds")
 
-    def finalize(batch: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame({
+    def finalize(batch: "pd.DataFrame") -> pa.Table:
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(pd.DataFrame({
             "doc_id": batch["node"].astype("int64"),
             "component_id": batch["label"].astype("int64"),
             "keep": batch["node"].to_numpy() == batch["label"].to_numpy(),
-        })
+        }))
     return labels.map_batches(finalize, batch_format="pandas")
 
 

@@ -32,6 +32,8 @@ sandbox's scale (a distributed groupby costs ~7-10 s fixed; see
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -81,7 +83,7 @@ class _Contrib:
         out = (pd.DataFrame({"dst": batch["dst"].to_pandas(),
                              "c": contrib})
                .groupby("dst", sort=False)["c"].sum().reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
 
 def pagerank_dataset(edges_ds, iters: int = 5, scale: int = 10**9,

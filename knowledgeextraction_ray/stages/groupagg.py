@@ -49,7 +49,7 @@ def bucketed_agg(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
     first; ``count_alias`` adds a group-size column. Exact for associative
     fns (pre-aggregate per batch upstream if input rows per key are huge).
     """
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.drop(columns=["__bucket"])
         gb = g.groupby(keys, sort=False)
         if agg_spec:
@@ -58,7 +58,8 @@ def bucketed_agg(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
             out = gb.size().to_frame("__n").drop(columns=["__n"])
         if count_alias:
             out[count_alias] = gb.size()
-        return out.reset_index()
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(out.reset_index())
 
     return (ds.map_batches(lambda b: add_bucket_column(b, keys, num_buckets),
                            batch_format="pyarrow")
@@ -138,15 +139,16 @@ def file_local_count(ds, keys: list[str],
     vc = pdf["__file"].value_counts()
     suspects = frozenset(vc[vc >= 2].index)
 
-    def _count_batch(g: pd.DataFrame, keep_suspects: bool) -> pd.DataFrame:
+    def _count_batch(g: pd.DataFrame, keep_suspects: bool) -> pa.Table:
         if suspects:
             fk = g[file_cols[0]].astype(str)
             for c in file_cols[1:]:
                 fk = fk + "\x1f" + g[c].astype(str)
             m = fk.isin(suspects)
             g = g[m] if keep_suspects else g[~m]
-        return (g.groupby(keys, sort=False).size()
-                .to_frame(count_alias).reset_index())
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(g.groupby(keys, sort=False).size()
+                                 .to_frame(count_alias).reset_index())
 
     bulk = ds.map_batches(lambda g: _count_batch(g, False),
                           batch_format="pandas", batch_size=None)
@@ -163,4 +165,5 @@ def file_local_count(ds, keys: list[str],
         return bulk.union(fixed)
     merged = (edge_pdf.groupby(keys, sort=False)[count_alias]
               .sum().reset_index())
-    return bulk.union(rd.from_pandas(merged))
+    from ..functions.tables import from_pandas_clean
+    return bulk.union(rd.from_arrow(from_pandas_clean(merged)))

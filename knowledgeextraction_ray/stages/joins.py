@@ -92,14 +92,18 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32,
                 df[c] = df[c].astype("int64")
         return df
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame):
         lg = _restore_ints(
             g[g["__side"] == "L"][[on] + [c for c in l_cols if c != on]],
             l_schema)
         rg = _restore_ints(
             g[g["__side"] == "R"][[on] + [c for c in r_cols if c != on]],
             r_schema)
-        return lg.merge(rg, on=on, how=how)
+        # emit Arrow ourselves (same from_pandas conversion Ray would do
+        # internally) so the block schema carries no pandas-metadata blob
+        # and Ray's schema dedup stays enabled (r2 hygiene item)
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(lg.merge(rg, on=on, how=how))
 
     return unioned.groupby("__bucket").map_groups(merge,
                                                   batch_format="pandas")

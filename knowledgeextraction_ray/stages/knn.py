@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -172,7 +174,7 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
                 "embedding": batch["embedding"].to_pylist()})
             key = splitmix64(df["vec_id"].to_numpy())
             order = np.argsort(key, kind="stable")[:sample_size]
-            return pa.Table.from_pandas(df.iloc[order],
+            return from_pandas_clean(df.iloc[order],
                                         preserve_index=False)
         sample_rows = (ds.select_columns(["vec_id", "embedding"])
                        .map_batches(over_sample, batch_format="pyarrow")

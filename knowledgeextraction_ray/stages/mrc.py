@@ -31,6 +31,8 @@ Two execution shapes over one shared kernel (``_feature_rows``):
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import re
 
 import numpy as np
@@ -250,7 +252,7 @@ class MrcWindowScorer:
         df = _feature_rows(batch["example_id"].to_pylist(), qtypes,
                            batch["context"].to_pylist(), self.patterns,
                            self.n_top, self.max_span, self.stride)
-        return pa.Table.from_pandas(df, schema=FEATURE_SCHEMA,
+        return from_pandas_clean(df, schema=FEATURE_SCHEMA,
                                     preserve_index=False)
 
 
@@ -288,7 +290,7 @@ class MrcFusedScorer:
         df = _feature_rows(example_ids, qtypes, contexts, self.patterns,
                            self.n_top, self.max_span, self.stride)
         merged = _merge_bucket(df, self.n_best, self.null_threshold)
-        return pa.Table.from_pandas(merged, schema=NBEST_SCHEMA,
+        return from_pandas_clean(merged, schema=NBEST_SCHEMA,
                                     preserve_index=False)
 
 
@@ -411,7 +413,9 @@ def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32,
 
     return (scored.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(lambda g: _merge_bucket(g, n_best, null_threshold),
+            .map_groups(lambda g: from_pandas_clean(
+                            _merge_bucket(g, n_best, null_threshold),
+                            schema=NBEST_SCHEMA),
                         batch_format="pandas"))
 
 

@@ -14,6 +14,8 @@ top-N cut, share and rank are computed once over the merged count table.
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,7 +30,7 @@ def key_skew_profile(ds, key_col: str, top_n: int = 20) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         vc = (batch[key_col].to_pandas().value_counts(sort=False)
               .rename_axis("key").to_frame("n").reset_index())
-        return pa.Table.from_pandas(vc, preserve_index=False)
+        return from_pandas_clean(vc, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=None).to_pandas()

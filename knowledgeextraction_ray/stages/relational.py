@@ -19,13 +19,14 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 from ..functions.rounding import scaled_int64
+from ..functions.tables import read_parquet_clean
 
 
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped: filtered lineitem aggregate by returnflag/linestatus.
 
     sums in cents (e2) / e4 scaled ints for exactness."""
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_linestatus",
                                   "l_quantity", "l_extendedprice",
                                   "l_discount", "l_shipdate"])
@@ -88,7 +89,7 @@ def orders_by_nation(sf_dir: str):
             for c, nk in zip(cust["c_custkey"].to_pylist(),
                              cust["c_nationkey"].to_pylist())}
     ref = ray.put(cmap)
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     from .groupagg import partial_combine_agg
     return partial_combine_agg(
@@ -103,7 +104,7 @@ def orders_by_nation(sf_dir: str):
 def top_orders(sf_dir: str, k: int = 10):
     """→ top-k orders by totalprice (sort + limit; deterministic tie-break
     on orderkey)."""
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"],
                    descending=[True, False]).limit(k)
@@ -116,7 +117,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     import numpy as np
     import pandas as pd
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -129,7 +130,8 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
                           ascending=[True, False, True], kind="mergesort"))
         g = g.groupby("o_custkey", sort=False).head(k).copy()
         g["rank"] = g.groupby("o_custkey", sort=False).cumcount() + 1
-        return g
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(g)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
@@ -139,7 +141,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
 def part_type_stats(sf_dir: str):
     """→ per p_type: n_parts, min/max retail price in cents (Min/Max/Count
     aggregate family, exact values)."""
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
                          columns=["p_type", "p_retailprice"])
 
     def prep(batch: pa.Table) -> pa.Table:

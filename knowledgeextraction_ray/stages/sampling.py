@@ -25,6 +25,8 @@ scale-native replacement.
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -61,7 +63,7 @@ def _partial_topk(batch: pa.Table, stratum_col: str, id_col: str,
         "key": keys,
     })
     df = df.sort_values("key", kind="mergesort")
-    return pa.Table.from_pandas(df.groupby("stratum", sort=False).head(k),
+    return from_pandas_clean(df.groupby("stratum", sort=False).head(k),
                                 preserve_index=False)
 
 

@@ -10,6 +10,8 @@ arithmetic only.
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -212,7 +214,9 @@ def tfidf_top_terms(ds, k: int = 5):
                             ascending=[True, False, True], kind="mergesort")
         tf = tf.groupby("doc_id", sort=False).head(k).copy()
         tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
-        return tf[["doc_id", "term", "tf", "df", "score_e6", "rank"]]
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(
+            tf[["doc_id", "term", "tf", "df", "score_e6", "rank"]])
 
     return ds.map_batches(score_batch, fn_kwargs={"df_ref": df_ref},
                           batch_format="pyarrow", batch_size=None)
@@ -242,7 +246,7 @@ def inverted_index(ds, num_buckets: int = 64,
 
     def pairs(batch: pa.Table) -> pa.Table:
         tf = _doc_term_tf(batch)
-        return pa.Table.from_pandas(tf[["term", "doc_id"]],
+        return from_pandas_clean(tf[["term", "doc_id"]],
                                     preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -252,7 +256,8 @@ def inverted_index(ds, num_buckets: int = 64,
                 (lambda s: ",".join(map(str, s.iloc[:max_postings]))))
         out = g.agg(df="size", postings=join)
         out["df"] = out["df"].astype(np.int64)
-        return out.reset_index()
+        from ..functions.tables import from_pandas_clean
+        return from_pandas_clean(out.reset_index())
 
     return (ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
             .map_batches(lambda b: add_bucket_column(b, ["term"],
@@ -292,7 +297,7 @@ def bigram_counts(ds, min_count: int = 3, num_buckets: int = 64):
         out = (pd.DataFrame({"w1": terms[:-1][same], "w2": terms[1:][same]})
                .groupby(["w1", "w2"], sort=False).size()
                .to_frame("n").reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     agg = bucketed_agg(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None),

@@ -21,6 +21,8 @@ dedup (``mrc_utils.py:397-415``) restated as a keyed aggregation.
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -131,7 +133,7 @@ class EmitTriples:
                     content_sha256=("content_sha256", "first"),
                     n_mentions=("repo", "size"))
                .reset_index())
-        return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA,
+        return from_pandas_clean(out, schema=TRIPLE_SCHEMA,
                                     preserve_index=False)
 
 
@@ -158,7 +160,8 @@ def _dedup_pdf(pdf):
 
 
 def _dedup_bucket(g):
-    return _dedup_pdf(g.drop(columns=["bucket"]))
+    from ..functions.tables import from_pandas_clean
+    return from_pandas_clean(_dedup_pdf(g.drop(columns=["bucket"])))
 
 
 def triples_dataset(linked_ds, canonical_map: dict[str, str],
@@ -292,7 +295,7 @@ def _block_scope_triples(linked_ds, ref, num_buckets: int,
                  .map_groups(_dedup_bucket, batch_format="pandas"))
         return bulk.union(fixed)
     fixed = rd.from_arrow(
-        pa.Table.from_pandas(_dedup_pdf(edge_pdf), schema=TRIPLE_SCHEMA,
+        from_pandas_clean(_dedup_pdf(edge_pdf), schema=TRIPLE_SCHEMA,
                              preserve_index=False))
     return bulk.union(fixed)
 

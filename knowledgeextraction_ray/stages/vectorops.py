@@ -52,10 +52,11 @@ def label_centroids(ds, num_buckets: int = 16):
         {"n_vecs": ("n_vecs", "sum"), "sum_e6": ("sum_e6", "sum")},
         num_buckets=num_buckets)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(df: pd.DataFrame):
+        from ..functions.tables import from_pandas_clean
         df = df.copy()
         df["centroid"] = _round6(df["sum_e6"].to_numpy(dtype=np.float64)
                                  / df["n_vecs"].to_numpy(dtype=np.float64)
                                  / 1e6)
-        return df
+        return from_pandas_clean(df)
     return merged.map_batches(finalize, batch_format="pandas")

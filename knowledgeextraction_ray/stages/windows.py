@@ -27,6 +27,8 @@ the SQL oracle.
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -55,7 +57,7 @@ def _partial_tumbling(batch: pa.Table) -> pa.Table:
            .agg(n_events=("value_e4", "size"),
                 sum_value_e4=("value_e4", "sum"))
            .reset_index())
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return from_pandas_clean(out, preserve_index=False)
 
 
 def tumbling_window(ds, num_buckets: int = 64):
@@ -97,7 +99,7 @@ def sliding_window(ds, size_hours: int = 2, slide_hours: int = 1,
                .agg(n_events=("value_e4", "size"),
                     sum_value_e4=("value_e4", "sum"))
                .reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     partials = ds.map_batches(explode_partial, batch_format="pyarrow",
                               batch_size=None)
@@ -139,7 +141,7 @@ def sessionize(ds, num_buckets: int = 32):
                     end_ts=("ts", "max"))
                .reset_index())
         out["session_id"] = out["session_id"].astype("int64")
-        return out
+        return from_pandas_clean(out)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")

@@ -25,6 +25,8 @@ wave of scorer work.
 
 from __future__ import annotations
 
+from ..functions.tables import from_pandas_clean
+
 import json
 import os
 import shutil
@@ -115,10 +117,11 @@ def write_partitioned_triples(triples_ds, out_dir: str,
         pid = int(g["partition_id"].iloc[0])
         g = g.drop(columns=["partition_id"]).sort_values(
             ["subj", "pred", "obj"], kind="mergesort")
-        table = pa.Table.from_pandas(g.reset_index(drop=True),
+        table = from_pandas_clean(g.reset_index(drop=True),
                                      preserve_index=False)
         pq.write_table(table, os.path.join(tmp, f"part-{pid:04d}.parquet"))
-        return pd.DataFrame({"partition_id": [pid], "n_triples": [len(g)]})
+        return from_pandas_clean(pd.DataFrame({"partition_id": [pid],
+                                               "n_triples": [len(g)]}))
 
     with_pid = triples_ds.map_batches(
         lambda b: add_partition_id(b, num_partitions),

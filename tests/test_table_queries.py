@@ -470,3 +470,23 @@ def test_tfidf_rare_term_outranks_ubiquitous():
     assert d0[d0.term == "common"].score_e6.iloc[0] == 333_333
     for _, g in out.groupby("doc_id"):
         assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_lsh_oracle_margins(sf_dir):
+    """The knn_lsh / embedding_neardup / knn_ivf SQL gates assume no
+    near-tie float decisions between numpy and DuckDB accumulation orders
+    (documented at oracle_tables._hyperplane_bucket_expr); verify the
+    margins on the provided embeddings are far above 1-ulp noise."""
+    import pyarrow.parquet as pq
+
+    from knowledgeextraction_ray.stages.knn import ivf_quantizer, lsh_planes
+    rows = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).to_pandas()
+    vecs = np.array(rows["embedding"].tolist(), dtype=np.float64)
+    for bits in (8, 12):                  # knn_lsh and embedding_neardup
+        dots = vecs @ lsh_planes(vecs.shape[1], bits, 5)
+        assert np.abs(dots).min() > 1e-6
+    cents = ivf_quantizer(rows, 16, 2000, 13)
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    d.sort(axis=1)
+    assert (d[:, 1] - d[:, 0]).min() > 1e-6    # IVF cell-assignment gap
