@@ -171,35 +171,92 @@ def _doc_term_tf(batch: pa.Table) -> "object":
     return out
 
 
-def tfidf_top_terms(ds, k: int = 5):
+def _rank_topk(tf, k: int) -> pa.Table:
+    """(doc_id, term, tf, df) rows for COMPLETE documents → top-``k`` rows
+    per doc by (score_e6 desc, term asc) with 1-based rank — the scoring
+    body shared verbatim by the broadcast and join paths (their equality is
+    test-pinned). ``score_e6 = (tf · 1e6) // df``: integer floor-div on
+    both sides of the oracle gate."""
+    tf = tf.copy()
+    tf["tf"] = tf["tf"].astype(np.int64)
+    tf["df"] = tf["df"].astype(np.int64)
+    tf["score_e6"] = (tf["tf"] * 1_000_000) // tf["df"]
+    tf = tf.sort_values(["doc_id", "score_e6", "term"],
+                        ascending=[True, False, True], kind="mergesort")
+    tf = tf.groupby("doc_id", sort=False).head(k).copy()
+    tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+    return from_pandas_clean(
+        tf[["doc_id", "term", "tf", "df", "score_e6", "rank"]])
+
+
+def _tfidf_join_path(ds, partials, k: int, num_buckets: int):
+    """Web-scale TF-IDF shape — the DF table never lands on the driver:
+    per-batch DF partials reduce via ``bucketed_agg`` (stays a Dataset),
+    the (doc_id, term, tf) rows hash-join against it on the term key
+    (``bucketed_join`` — the only data moved is tf rows + the vocab-sized
+    DF table, never text), and the per-doc top-k runs inside one bucketed
+    exchange on doc_id (a doc's rows land in one bucket, so ranking is
+    exact)."""
+    from .groupagg import add_bucket_column, bucketed_agg
+    from .joins import bucketed_join
+
+    df_ds = bucketed_agg(partials, ["term"], {"df": ("df", "sum")},
+                         num_buckets=num_buckets)
+    tf_rows = ds.map_batches(
+        lambda b: from_pandas_clean(_doc_term_tf(b)),
+        batch_format="pyarrow", batch_size=None)
+    joined = bucketed_join(tf_rows, df_ds, on="term",
+                           num_buckets=num_buckets)
+
+    def per_bucket(g):
+        return _rank_topk(g.drop(columns=["__bucket"]), k)
+
+    return (joined.map_batches(
+        lambda b: add_bucket_column(b, ["doc_id"], num_buckets),
+        batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas"))
+
+
+def tfidf_top_terms(ds, k: int = 5, vocab_driver_limit: int = 2_000_000,
+                    num_buckets: int = 64):
     """Top-``k`` TF-IDF-style terms per document, exact-integer scored.
 
     Classic two-pass shape for a corpus-global statistic:
 
     1. **document frequencies**: per-batch (doc_id, term, tf) partials
-       collapse to per-batch (term, n_docs) and merge on the driver (the
-       combiner pattern; the DF table is vocab-sized — flip the merge to
-       ``bucketed_agg`` for web-scale vocabularies).
-    2. **scoring**: the DF table broadcasts via ``ray.put`` (one
-       object-store copy per node, deref once per worker); each batch
-       recomputes its docs' tf locally and takes top-k per doc — a doc is
-       one row, so ranking never leaves the batch and nothing shuffles.
+       collapse to per-batch (term, n_docs); the partial stream merges on
+       the driver ONLY while it fits (``to_pandas(limit=vocab_driver_limit)``
+       — size-GUARDED, r2 verdict item 1). Past the limit the whole query
+       flips to :func:`_tfidf_join_path`, where the DF table stays a
+       Dataset and scoring goes through a bucketed term join — a web-scale
+       code corpus's vocabulary never materializes on the driver.
+    2. **scoring** (driver-merge shape): the DF table broadcasts via
+       ``ray.put`` (one object-store copy per node, deref once per worker);
+       each batch recomputes its docs' tf locally and takes top-k per doc —
+       a doc is one row, so ranking never leaves the batch and nothing
+       shuffles.
 
     Score: ``score_e6 = (tf * 1e6) // df`` — integer floor-div on both
     sides (the SQL oracle's float floor provably agrees for these
-    magnitudes), rank by (score desc, term asc).
+    magnitudes), rank by (score desc, term asc). Path equality is
+    test-pinned (forced-fallback test), so the flip is a pure scale
+    decision.
     """
-    import pandas as pd
     import ray
 
-    def df_partial(batch: pa.Table) -> "object":
+    def df_partial(batch: pa.Table) -> pa.Table:
         tf = _doc_term_tf(batch)
-        return (tf.groupby("term", sort=False).size()
-                .to_frame("df").reset_index())
+        return from_pandas_clean(tf.groupby("term", sort=False).size()
+                                 .to_frame("df").reset_index())
 
     partials = ds.map_batches(df_partial, batch_format="pyarrow",
-                              batch_size=None).to_pandas()
-    df_tab = partials.groupby("term", sort=False)["df"].sum()
+                              batch_size=None)
+    try:
+        partials_pdf = partials.to_pandas(limit=vocab_driver_limit)
+    except ValueError:
+        return _tfidf_join_path(ds, partials, k, num_buckets)
+    df_tab = partials_pdf.groupby("term", sort=False)["df"].sum()
     df_ref = ray.put(dict(df_tab.items()))
 
     def score_batch(batch: pa.Table, *, df_ref) -> "object":
@@ -207,16 +264,8 @@ def tfidf_top_terms(ds, k: int = 5):
         key = df_ref.hex() if hasattr(df_ref, "hex") else id(df_ref)
         df_map = worker_state(("tfidf_df", key), lambda: ray.get(df_ref))
         tf = _doc_term_tf(batch)
-        dfv = tf["term"].map(df_map).astype(np.int64)
-        tf["df"] = dfv
-        tf["score_e6"] = (tf["tf"].astype(np.int64) * 1_000_000) // dfv
-        tf = tf.sort_values(["doc_id", "score_e6", "term"],
-                            ascending=[True, False, True], kind="mergesort")
-        tf = tf.groupby("doc_id", sort=False).head(k).copy()
-        tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
-        from ..functions.tables import from_pandas_clean
-        return from_pandas_clean(
-            tf[["doc_id", "term", "tf", "df", "score_e6", "rank"]])
+        tf["df"] = tf["term"].map(df_map).astype(np.int64)
+        return _rank_topk(tf, k)
 
     return ds.map_batches(score_batch, fn_kwargs={"df_ref": df_ref},
                           batch_format="pyarrow", batch_size=None)

@@ -490,3 +490,64 @@ def test_lsh_oracle_margins(sf_dir):
     d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     d.sort(axis=1)
     assert (d[:, 1] - d[:, 0]).min() > 1e-6    # IVF cell-assignment gap
+
+
+def test_embedding_neardup_megabucket_star():
+    """A degenerate embedding column (every vector identical → one LSH
+    bucket) past max_bucket emits linear STAR pairs to the min vec_id —
+    the cluster still forms one component, nothing is silently dropped,
+    and no quadratic pair set is materialized."""
+    from knowledgeextraction_ray.stages.dedup import embedding_neardup_pairs
+    v = (np.arange(64) / 64.0 + 0.1).tolist()
+    rows = [{"vec_id": i, "embedding": v} for i in range(20)]
+    out = embedding_neardup_pairs(rd.from_items(rows), threshold=0.9,
+                                  max_bucket=5).to_pandas()
+    got = set(zip(out["vec_id_a"], out["vec_id_b"]))
+    assert got == {(0, i) for i in range(1, 20)}        # star, not n²
+    assert np.allclose(out["cosine"], 1.0)
+
+
+def test_jaccard_pairs_megagroup_star_and_parity():
+    """(a) a skewed blocking key past max_group emits STAR pairs to the
+    group's min doc_id instead of the quadratic set; (b) the vectorized
+    incidence-matmul kernel agrees exactly with the scalar char_jaccard
+    definition on an uncapped group."""
+    from knowledgeextraction_ray.stages.dedup import char_jaccard, \
+        jaccard_pairs
+    rs = np.random.RandomState(5)
+    alphabet = list("abcdefghijklmnop .,!")
+    texts = ["".join(rs.choice(alphabet, 40)) for _ in range(12)]
+    rows = [{"doc_id": i, "source": "s0", "text": t}
+            for i, t in enumerate(texts)]
+
+    out = (jaccard_pairs(rd.from_items(rows), threshold=0.0)
+           .to_pandas().sort_values(["doc_id_a", "doc_id_b"])
+           .reset_index(drop=True))
+    assert len(out) == 12 * 11 // 2
+    for _, r in out.iterrows():
+        assert r["jaccard"] == char_jaccard(texts[int(r["doc_id_a"])],
+                                            texts[int(r["doc_id_b"])])
+
+    star = jaccard_pairs(rd.from_items(rows), threshold=0.0,
+                         max_group=5).to_pandas()
+    got = set(zip(star["doc_id_a"], star["doc_id_b"]))
+    assert got == {(0, i) for i in range(1, 12)}
+
+
+def test_tfidf_join_path_equals_broadcast(sf_dir):
+    """Forcing the size-guarded fallback (vocab_driver_limit=0 → the DF
+    table never lands on the driver; bucketed term join + bucketed per-doc
+    ranking) must produce the identical result as the broadcast path."""
+    import pyarrow.parquet as pq
+
+    from knowledgeextraction_ray.stages.text_analysis import tfidf_top_terms
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas().head(200)
+    cols = ["doc_id", "term", "tf", "df", "score_e6", "rank"]
+
+    def run(**kw):
+        return (tfidf_top_terms(rd.from_pandas(docs), k=5, **kw)
+                .to_pandas()[cols].sort_values(["doc_id", "rank"])
+                .reset_index(drop=True).astype({"tf": "int64",
+                                                "df": "int64"}))
+    pd.testing.assert_frame_equal(run(), run(vocab_driver_limit=0))
