@@ -299,6 +299,341 @@ def sql_kg_pagerank(sf_dir: str, iters: int = 5, scale: int = 10**9,
             f"\nselect node, cast(r as bigint) as rank_e9 from r{iters}")
 
 
+def _group_prefix_len(pat: str) -> int:
+    """Char offset of capture group 1 inside a match — every grammar pattern
+    is a fixed literal prefix followed by ``(...)``, so the offset is the
+    index of the first ``(``. Positions of regex matches are not exposed by
+    DuckDB; the oracles reconstruct them from ``string_split_regex`` part
+    lengths + this fixed group offset."""
+    return pat.index("(")
+
+
+def _segments_ctes(sf_dir: str, max_payload: int = 382,
+                   min_len: int = 4) -> str:
+    """CTE chain restating the line segmenter (``functions/textseg``):
+    newline split with ``\\n`` re-attached, GREEDY packing into ≤
+    ``max_payload``-char chunks via a recursive chunk-start fold (one row
+    per file per step — the packing recurrence is inherently sequential per
+    file, parallel across files), then the min-length filter.
+
+    Emits ``segs``: (fid, sha, repo, path, off, text, slen, si, seg_index)
+    where ``si`` numbers chunks BEFORE the min-length filter (the prep
+    pipeline's guid convention) and ``seg_index`` after it (the segmenter's).
+    ASSUMES no single line exceeds ``max_payload`` (true of the grammar
+    corpus by construction; the Python side hard-splits such lines and the
+    recurrence here would diverge — kept out of SQL deliberately)."""
+    corpus = corpus_glob(sf_dir)
+    return f"""
+files as (
+  select repo || ':' || path as fid, repo, path,
+         sha256(content) as sha, content
+  from read_parquet('{corpus}')),
+rawlines as (
+  select fid, unnest(string_split(content, chr(10))) as part,
+         unnest(range(1, len(string_split(content, chr(10))) + 1)) as ln,
+         len(string_split(content, chr(10))) as n_lines
+  from files),
+lpre as (
+  select fid, ln,
+         case when ln < n_lines then part || chr(10) else part end as line
+  from rawlines where not (ln = n_lines and part = '')),
+lpos as (
+  select fid, ln, line, length(line) as llen,
+         sum(length(line)) over (partition by fid order by ln
+             rows between unbounded preceding and current row)
+           - length(line) as pos
+  from lpre),
+pack(fid, ln, chunk_start) as (
+  select fid, ln, 0::bigint from lpos where ln = 1
+  union all
+  select l.fid, l.ln,
+         case when l.pos + l.llen - p.chunk_start > {max_payload}
+                   and l.pos > p.chunk_start
+              then l.pos else p.chunk_start end
+  from pack p join lpos l on l.fid = p.fid and l.ln = p.ln + 1),
+segs0 as (
+  select p.fid, p.chunk_start as off,
+         string_agg(l.line, '' order by l.ln) as text
+  from pack p join lpos l on l.fid = p.fid and l.ln = p.ln
+  group by p.fid, p.chunk_start),
+segsall as (
+  select fid, off, text, length(text) as slen,
+         row_number() over (partition by fid order by off) - 1 as si
+  from segs0),
+segs as materialized (
+  select f.fid, f.sha, f.repo, f.path, s.off, s.text, s.slen, s.si,
+         row_number() over (partition by s.fid order by s.off) - 1
+           as seg_index
+  from segsall s join files f using (fid)
+  where s.slen >= {min_len})"""
+
+
+def _segment_spans_ctes(labels=None) -> str:
+    """CTEs over ``segs`` producing ``spans``: one row per grammar match per
+    segment with EXACT group char positions (g_s, g_e half-open,
+    segment-relative). Positions are reconstructed from split-part
+    cumulative lengths: ``content = pre1 + match1 + pre2 + match2 + …``, so
+    ``f_s(k) = Σ_{{i≤k}} len(pre_i) + Σ_{{i<k}} len(match_i)``, and group 1
+    sits at a fixed offset inside each match (:func:`_group_prefix_len`)."""
+    labels = labels or list(MENTION_PATTERNS)
+    branches = "\nunion all\n".join(f"""
+  select fid, sha, repo, path, si, seg_index, slen,
+         '{lab}' as label, {_group_prefix_len(MENTION_PATTERNS[lab])} as plen,
+         string_split_regex(text, '{MENTION_PATTERNS[lab]}') as parts,
+         regexp_extract_all(text, '{MENTION_PATTERNS[lab]}', 0) as fulls,
+         regexp_extract_all(text, '{MENTION_PATTERNS[lab]}', 1) as grps
+  from segs""" for lab in labels)
+    return f"""
+sp as ({branches}),
+mrows as (
+  select fid, sha, repo, path, si, seg_index, slen, label, plen,
+         unnest(range(1, len(fulls) + 1)) as k,
+         unnest(fulls) as fm, unnest(grps) as gm,
+         unnest(parts[1:len(fulls)]) as pre
+  from sp where len(fulls) > 0),
+spans as (
+  select fid, sha, repo, path, si, seg_index, slen, label, gm,
+         cast(sum(length(pre) + length(fm)) over (
+             partition by fid, si, label order by k
+             rows between unbounded preceding and current row)
+           - length(fm) + plen as bigint) as g_s,
+         cast(sum(length(pre) + length(fm)) over (
+             partition by fid, si, label order by k
+             rows between unbounded preceding and current row)
+           - length(fm) + plen + length(gm) as bigint) as g_e
+  from mrows)"""
+
+
+def _bio_tag_sql(guid_expr: str) -> str:
+    """CTEs assembling each segment's per-char BIO label string (comma-
+    joined ``TYPE-B``/``TYPE-I``/``O``) from ``spans`` WITHOUT a per-char
+    explode: consecutive runs are built with ``repeat`` per span plus the
+    gap to the previous span (grammar spans never overlap)."""
+    return f"""
+pieces as (
+  select {guid_expr} as guid, g_s, g_e, label,
+         lag(g_e, 1, 0) over (partition by {guid_expr} order by g_s)
+           as prev_e
+  from spans),
+tagged as (
+  select guid,
+         string_agg(repeat('O,', cast(g_s - prev_e as bigint)) ||
+                    label || '-B,' ||
+                    repeat(label || '-I,', cast(g_e - g_s - 1 as bigint)),
+                    '' order by g_s) as body,
+         max(g_e) as last_e
+  from pieces group by guid)"""
+
+
+def sql_ner_predictions(sf_dir: str) -> str:
+    """Serving-schema NER predictions per segment: (guid, text, tags) where
+    ``tags`` is the comma-joined per-char BIO sequence the rule scorer
+    (grammar argmax) emits — ``words`` of the serving envelope is exactly
+    ``list(text)`` and ``tags.split(',')`` restores the list form."""
+    return ("with recursive " + _segments_ctes(sf_dir) + ",\n"
+            + _segment_spans_ctes() + ",\n"
+            + _bio_tag_sql("sha || ':' || seg_index") + """
+select s.sha || ':' || s.seg_index as guid, s.text,
+       rtrim(coalesce(t.body, '') ||
+             repeat('O,', cast(s.slen - coalesce(t.last_e, 0) as bigint)),
+             ',') as tags
+from segs s
+left join tagged t on t.guid = s.sha || ':' || s.seg_index
+""")
+
+
+def sql_prep_tagger_records(sf_dir: str) -> str:
+    """Prep-pipeline TRAIN split: same segment/BIO construction as
+    :func:`sql_ner_predictions` (the prep guid numbers chunks before the
+    min-length filter), restricted to records whose content-keyed split
+    bucket ``md5(guid) % 100`` falls in [0, 90) — the exact restatement of
+    ``pipelines/prep.split_bucket``."""
+    return ("with recursive " + _segments_ctes(sf_dir) + ",\n"
+            + _segment_spans_ctes() + ",\n"
+            + _bio_tag_sql("sha || ':' || si") + """
+select guid, text, labels from (
+  select s.sha || ':' || s.si as guid, s.text,
+         rtrim(coalesce(t.body, '') ||
+               repeat('O,', cast(s.slen - coalesce(t.last_e, 0) as bigint)),
+               ',') as labels
+  from segs s
+  left join tagged t on t.guid = s.sha || ':' || s.si)
+where ('0x' || substr(md5(guid), 1, 8))::bigint % 100 < 90
+""")
+
+
+def sql_nre_relations(sf_dir: str) -> str:
+    """Relation extraction over (def → call) pairs inside each segment:
+    every CALL span pairs with the nearest preceding FUNC span (window
+    last_value over span order — the ``build_pairs`` fold), instance score
+    is the md5-of-identity stand-in (``5000 + md5_32(key) % 5000`` e4),
+    and pos1/pos2 are the marker positions of ``marker_featurize``:
+    ``pos1 = min(h_start, 127)`` (no markers precede the head-open),
+    ``pos2 = min(t_start + 2, 127)`` (head open+close precede tail-open),
+    with ``max_length=128``."""
+    return ("with recursive " + _segments_ctes(sf_dir) + ",\n"
+            + _segment_spans_ctes(["FUNC", "CALL"]) + """,
+with_head as (
+  select fid, sha, repo, path, seg_index, label, gm, g_s, g_e,
+         last_value(case when label = 'FUNC' then gm end ignore nulls)
+           over w as head_surface,
+         last_value(case when label = 'FUNC' then g_s end ignore nulls)
+           over w as h_s
+  from spans
+  window w as (partition by fid, si order by g_s
+               rows between unbounded preceding and current row)),
+pairs as (
+  select sha || ':' || seg_index as guid, repo, path,
+         head_surface, gm as tail_surface, h_s, g_s as t_s
+  from with_head
+  where label = 'CALL' and head_surface is not null),
+scored as (
+  select *, 5000 + (('0x' || substr(md5(guid || '|' || head_surface || '|' ||
+                     tail_surface || '|' || h_s || '|' || t_s), 1, 8))::bigint
+                    % 5000) as score_e4
+  from pairs)
+select guid, repo, path, head_surface, tail_surface,
+       'calls' as relation, cast(score_e4 as bigint) as score_e4,
+       score_e4 / 10000.0 as score,
+       cast(least(h_s, 127) as int) as pos1,
+       cast(least(t_s + 2, 127) as int) as pos2
+from scored
+""")
+
+
+def sql_mrc_nbest(sf_dir: str, max_span: int = 200, stride: int = 100,
+                  n_top: int = 5, n_best: int = 20) -> str:
+    """Sliding-window MRC oracle (the multi-window regime ``mrc_answers``'s
+    single-window gate does not cover): per (file × question),
+
+    - windows start at ``i·stride`` with length ``min(max_span, L - start)``,
+      count ``ceil(max(1, L - max_span + stride) / stride)``;
+    - a window CONTAINS a match iff the full match span fits inside it;
+      per-window rank is position order among contained matches, beam-capped
+      at ``n_top`` with log-probs ``(-0.1·r, -0.05·r)``;
+    - a candidate row is emitted only by the max-context OWNER of its group
+      start (``score = min(left, right) + 0.01·len``, tie → lowest window —
+      the ``char_is_max_context`` rule, ``mrc_utils.py:80-114``), computed
+      in DOUBLE arithmetic identical to the numpy side;
+    - every (example, window) contributes one cls row: ``-5`` if the window
+      contains any candidate else ``+5``; na_prob is their mean;
+    - fan-in (``get_predictions_v2``): order by (total desc, start, end),
+      first-wins text dedup, top ``n_best``, softmax (6dp-rounded on both
+      sides), final answer nulled when ``na_prob ≥ 0``.
+
+    Examples with no candidates emit one (ord=0, entity='') row so every
+    (file × question) appears exactly once or per-kept-entity."""
+    corpus = corpus_glob(sf_dir)
+    S, T = max_span, stride
+    branches = "\nunion all\n".join(f"""
+  select sha, L, '{lab}' as qtype,
+         {_group_prefix_len(MENTION_PATTERNS[lab])} as plen,
+         string_split_regex(content, '{MENTION_PATTERNS[lab]}') as parts,
+         regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 0) as fulls,
+         regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 1) as grps
+  from files""" for lab in MENTION_PATTERNS)
+    return f"""
+with files as materialized (
+  select distinct sha256(content) as sha, content,
+         length(content) as L
+  from read_parquet('{corpus}')),
+nw as materialized (
+  select sha, L,
+         (greatest(1, L - {S} + {T}) + {T} - 1) // {T} as n_win
+  from files),
+sp as ({branches}),
+mrows as (
+  select sha, L, qtype, plen,
+         unnest(range(1, len(fulls) + 1)) as k,
+         unnest(fulls) as fm, unnest(grps) as gm,
+         unnest(parts[1:len(fulls)]) as pre
+  from sp where len(fulls) > 0),
+m as materialized (
+  select sha, L, qtype, k, gm,
+         cast(sum(length(pre) + length(fm)) over (
+             partition by sha, qtype order by k
+             rows between unbounded preceding and current row)
+           - length(fm) as bigint) as f_s,
+         cast(sum(length(pre) + length(fm)) over (
+             partition by sha, qtype order by k
+             rows between unbounded preceding and current row) as bigint)
+           as f_e,
+         plen
+  from mrows),
+mg as materialized (
+  select m.sha, m.qtype, m.k, m.gm, m.f_s + m.plen as g_s,
+         m.f_s + m.plen + length(m.gm) as g_e, m.L, n.n_win,
+         greatest(0, cast(ceil((m.f_e - {S}) / {T}.0) as bigint)) as i_lo,
+         least(m.f_s // {T}, n.n_win - 1) as i_hi
+  from m join nw n using (sha)),
+mw as materialized (
+  select sha, qtype, k, gm, g_s, g_e, L,
+         unnest(range(i_lo, i_hi + 1)) as win
+  from mg where i_lo <= i_hi),
+owned as (
+  select *, row_number() over (
+      partition by sha, qtype, k
+      order by least(g_s - win * {T},
+                     win * {T} + least({S}, L - win * {T}) - 1 - g_s)
+               + 0.01 * least({S}, L - win * {T}) desc,
+               win asc) as own_rn
+  from mw),
+ranked as (
+  select sha, qtype, k, gm, g_s, g_e, win, own_rn,
+         row_number() over (partition by sha, qtype, win
+                            order by g_s) - 1 as rnk
+  from owned),
+emitted as (
+  select sha, qtype, gm, g_s, g_e,
+         (-0.1 * rnk) + (-0.05 * rnk) as total
+  from ranked where own_rn = 1 and rnk < {n_top}),
+wins as (
+  select n.sha, q.qtype, unnest(range(0, n.n_win)) as win
+  from nw n cross join (select unnest(['IMPORT', 'CLASS', 'FUNC', 'CALL'])
+                        as qtype) q),
+cls as materialized (
+  select w.sha, w.qtype,
+         avg(case when c.win is not null then -5.0 else 5.0 end) as na_prob
+  from wins w
+  left join (select distinct sha, qtype, win from mw) c
+    on c.sha = w.sha and c.qtype = w.qtype and c.win = w.win
+  group by w.sha, w.qtype),
+deduped as (
+  select *, row_number() over (
+      partition by sha, qtype, gm
+      order by total desc, g_s asc, g_e asc) as dup_rn
+  from emitted),
+kept as materialized (
+  select sha, qtype, gm, g_s, g_e, total,
+         row_number() over (partition by sha, qtype
+                            order by total desc, g_s asc, g_e asc) as ord
+  from deduped where dup_rn = 1
+  qualify ord <= {n_best}),
+kept_mx as (
+  select *, max(total) over (partition by sha, qtype) as mx from kept),
+probs as (
+  select sha, qtype, gm, ord,
+         round(exp(total - mx) /
+               sum(exp(total - mx)) over (partition by sha, qtype), 6)
+           as prob,
+         count(*) over (partition by sha, qtype) as n_entities
+  from kept_mx),
+firsts as (
+  select sha, qtype, gm as top_entity from kept where ord = 1)
+select c.sha || ':' || c.qtype as example_id,
+       coalesce(p.ord, 0) as ord,
+       coalesce(p.gm, '') as entity,
+       coalesce(p.prob, 0.0) as prob,
+       coalesce(p.n_entities, 0) as n_entities,
+       c.na_prob,
+       case when f.top_entity is not null and c.na_prob < 0.0
+            then f.top_entity else '' end as final_answer
+from cls c
+left join probs p on p.sha = c.sha and p.qtype = c.qtype
+left join firsts f on f.sha = c.sha and f.qtype = c.qtype
+"""
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
@@ -313,4 +648,8 @@ KG_ORACLES = {
     "nre_bags": sql_nre_bags,
     "mrc_answers": sql_mrc_answers,
     "ner_eval_prf": sql_ner_eval,
+    "ner_predictions": sql_ner_predictions,
+    "prep_tagger_records": sql_prep_tagger_records,
+    "nre_relations": sql_nre_relations,
+    "mrc_nbest": sql_mrc_nbest,
 }

@@ -10,7 +10,8 @@ raw gold docs {guid, originalText, entities[(label,start,end)]} →
 3. **span→BIO labeling** (M4): per-char ``TYPE-B/I`` labels, invariant
    ``len(token_labels) == len(text)`` (``crf_gen_taggers.py:272``),
 4. **min-length filter** (M7),
-5. **seeded shuffle + 90/3/7 split** (T5, ``split_files.py:16-27``).
+5. **deterministic 90/3/7 split** (T5, ``split_files.py:16-27`` — restated
+   as a content-keyed hash split; see :func:`prep_pipeline`).
 
 Each step is a stateless vectorized ``map_batches``; the whole prep is one
 streaming pass.
@@ -69,21 +70,43 @@ def docs_to_tagger_records(batch: pa.Table,
     return pa.Table.from_pydict(out, schema=TAGGER_SCHEMA)
 
 
+def split_bucket(guid: str) -> int:
+    """Deterministic per-record split key in [0, 100): the first 8 hex chars
+    of ``md5(guid)`` mod 100. Content-keyed, so the assignment is identical
+    no matter how the dataset is sharded or which node evaluates it — and
+    exactly restatable in the DuckDB oracle
+    (``('0x' || substr(md5(guid), 1, 8))::bigint % 100``)."""
+    import hashlib
+    return int(hashlib.md5(guid.encode()).hexdigest()[:8], 16) % 100
+
+
+def _split_filter(lo: int, hi: int):
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = pa.array([split_bucket(g) for g in batch["guid"].to_pylist()])
+        mask = pc.and_(pc.greater_equal(b, lo), pc.less(b, hi))
+        return batch.filter(mask)
+    return keep
+
+
 def prep_pipeline(docs_ds, label_map: dict[str, str] | None = None,
-                  cfg: SegmentConfig | None = None, seed: int = 12345):
+                  cfg: SegmentConfig | None = None):
     """gold docs Dataset → (train, dev, test) tagger-record Datasets.
 
-    Split is the reference's 90/3/7 after a seeded shuffle
-    (``split_files.py:16-27``)."""
+    Split is the reference's 90/3/7 (``split_files.py:16-27``), restated
+    Ray-idiomatically: instead of a seeded global ``random_shuffle`` (an
+    all-to-all exchange whose permutation depends on block layout — neither
+    cluster-stable nor resumable), each record lands in a split by a
+    deterministic hash of its guid (:func:`split_bucket` < 90 / < 93 /
+    else). Zero shuffle, stable under repartitioning and retries, and the
+    expected proportions are the same 90/3/7; training-order shuffling is a
+    separate train-time concern (T7/T8, n/a per SURVEY §2.5)."""
     label_map = label_map or {}
     ds = docs_ds.map_batches(lambda b: map_labels(b, label_map),
                              batch_format="pyarrow")
     ds = ds.map_batches(lambda b: docs_to_tagger_records(b, cfg),
                         batch_format="pyarrow")
-    shuffled = ds.random_shuffle(seed=seed)
-    try:
-        train, dev, test = shuffled.split_proportionately([0.90, 0.03])
-    except ValueError:
-        # dataset too small for non-empty 90/3/7 splits → everything train
-        train, dev, test = shuffled, shuffled.limit(0), shuffled.limit(0)
+    train = ds.map_batches(_split_filter(0, 90), batch_format="pyarrow")
+    dev = ds.map_batches(_split_filter(90, 93), batch_format="pyarrow")
+    test = ds.map_batches(_split_filter(93, 100), batch_format="pyarrow")
     return train, dev, test

@@ -516,10 +516,44 @@ def q_ner_eval_prf(sf_dir: str):
 
 
 def q_mrc_nbest(sf_dir: str):
-    """MRC fan-out/fan-in: (file × question) n-best entity lists."""
+    """MRC fan-out/fan-in in the SLIDING-WINDOW regime (max_span=200,
+    stride=100 — multi-window files, max-context ownership, per-window
+    beam): the full n-best lists exploded to one row per kept entity
+    (ord 1..k; empty examples emit one ord=0 row), probabilities 6dp-
+    rounded on both sides of the DuckDB gate (CLAUDE.md technique)."""
+    import numpy as np
+
     from ..stages.mrc import mrc_pipeline
     from .kg import read_corpus
-    return mrc_pipeline(read_corpus(sf_dir))
+    nbest = mrc_pipeline(read_corpus(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ex, ords, ents, probs, nent, na, fin = [], [], [], [], [], [], []
+        for e_id, es, ps, np_, fa in zip(
+                batch["example_id"].to_pylist(),
+                batch["entities"].to_pylist(),
+                batch["probabilities"].to_pylist(),
+                batch["na_prob"].to_pylist(),
+                batch["final_answer"].to_pylist()):
+            if not es:
+                ex.append(e_id); ords.append(0); ents.append("")
+                probs.append(0.0); nent.append(0); na.append(np_)
+                fin.append(fa)
+                continue
+            for i, (ent, p) in enumerate(zip(es, ps), start=1):
+                ex.append(e_id); ords.append(i); ents.append(ent)
+                probs.append(np.floor(p * 1e6 + 0.5) / 1e6)  # half-away 6dp
+                nent.append(len(es)); na.append(np_); fin.append(fa)
+        return pa.Table.from_pydict({
+            "example_id": pa.array(ex, pa.string()),
+            "ord": pa.array(ords, pa.int64()),
+            "entity": pa.array(ents, pa.string()),
+            "prob": pa.array(probs, pa.float64()),
+            "n_entities": pa.array(nent, pa.int64()),
+            "na_prob": pa.array(na, pa.float64()),
+            "final_answer": pa.array(fin, pa.string()),
+        })
+    return nbest.map_batches(explode, batch_format="pyarrow")
 
 
 def q_nre_relations(sf_dir: str):
@@ -571,7 +605,16 @@ def q_prep_tagger_records(sf_dir: str):
     docs = read_corpus(sf_dir).map_batches(docs_from_corpus,
                                            batch_format="pyarrow")
     train, dev, test = prep_pipeline(docs)
-    return train
+
+    def join_labels(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "guid": batch["guid"],
+            "text": batch["text"],
+            "labels": pa.array([",".join(ls) for ls in
+                                batch["token_labels"].to_pylist()],
+                               pa.string()),
+        })
+    return train.map_batches(join_labels, batch_format="pyarrow")
 
 
 def q_doc_lang_distribution(sf_dir: str):
@@ -690,18 +733,24 @@ TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf
 
+# gated as of round 3 (oracle.py segment/window restatements) — in
+# KG_QUERIES so the pytest oracle-parity parametrization covers them
+KG_QUERIES["mrc_nbest"] = q_mrc_nbest
+KG_QUERIES["nre_relations"] = q_nre_relations
+KG_QUERIES["prep_tagger_records"] = q_prep_tagger_records
+
 ROWS_ONLY_QUERIES = {
     "ner_eval_prf": q_ner_eval_prf,
-    "mrc_nbest": q_mrc_nbest,
-    "nre_relations": q_nre_relations,
-    "prep_tagger_records": q_prep_tagger_records,
 }
 
 
 def q_ner_predictions(sf_dir: str):
     """Serving-schema predictions (FIXTURES.md F4, reference response shape
     ``{guid, words, tags}`` per query — ``nerservice/ner_server.py:22-27``):
-    per segment, the char tokens and their BIO tags."""
+    per segment, the char tokens and their BIO tags. Gate form: ``tags`` is
+    the comma-joined per-char label sequence (the envelope's ``words`` list
+    is exactly ``list(text)`` and ``tags.split(',')`` restores the list —
+    the list envelope itself is pinned by the serving tests)."""
     import pyarrow as pa
 
     from ..stages.ner_scorer import LABEL_LIST, score_dataset
@@ -712,20 +761,17 @@ def q_ner_predictions(sf_dir: str):
                            cfg.scorer, cfg.segment)
 
     def fmt(batch: pa.Table) -> pa.Table:
-        guids = batch["guid"].to_pylist()
-        texts = batch["text"].to_pylist()
         tag_ids = batch["tag_ids"].to_pylist()
-        words = [list(t) for t in texts]
-        tags = [[LABEL_LIST[i] for i in ids] for ids in tag_ids]
+        tags = [",".join(LABEL_LIST[i] for i in ids) for ids in tag_ids]
         return pa.Table.from_pydict({
-            "guid": pa.array(guids, pa.string()),
-            "words": pa.array(words, pa.list_(pa.string())),
-            "tags": pa.array(tags, pa.list_(pa.string())),
+            "guid": batch["guid"],
+            "text": batch["text"],
+            "tags": pa.array(tags, pa.string()),
         })
     return scored.map_batches(fmt, batch_format="pyarrow")
 
 
-ROWS_ONLY_QUERIES["ner_predictions"] = q_ner_predictions
+KG_QUERIES["ner_predictions"] = q_ner_predictions
 
 
 def q_doc_dedup_keep(sf_dir: str):

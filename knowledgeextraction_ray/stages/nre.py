@@ -29,7 +29,6 @@ import pyarrow.compute as pc
 
 from ..functions.bio import bio_to_spans
 from ..functions.featurize import CHAR2ID, PAD_ID, UNK_ID, VOCAB_SIZE
-from ..functions.hashing import stable_hash64
 from .ner_scorer import LABEL_LIST
 
 # reserved marker ids appended after the char vocab ([unused0..3] analog)
@@ -108,30 +107,45 @@ def marker_featurize(text: str, h: tuple[int, int], t: tuple[int, int],
 class NreScorer:
     """Actor: marked-id tensors → (relation, score).
 
-    Deterministic head: relation 'calls' for (FUNC→CALL) pairs; score in
-    [0.5, 1.0) derived from a stable hash of the id sequence (a real
-    encoder+SoftmaxNN drops in here; ``nremodels/models.py:20-81``)."""
+    Deterministic head: relation 'calls' for (FUNC→CALL) pairs; the
+    stand-in instance score is md5-derived from the INSTANCE IDENTITY
+    (guid | head | tail | h_start | t_start) — the same scheme as the bag
+    pipeline's ``file_pair_scores``, so the whole query is exactly
+    reproducible by the DuckDB oracle. ``score_e4`` is the scaled-int form
+    (the oracle-gate column); ``score = score_e4 / 1e4`` ∈ [0.5, 1.0).
+    The marker featurization still runs per instance (pos1/pos2 are real
+    outputs and the id/mask tensors are the drop-in seam for a real
+    encoder+SoftmaxNN head; ``nremodels/models.py:20-81``)."""
 
     def __init__(self, max_length: int = 128):
         self.max_length = max_length
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rels, scores, p1s, p2s = [], [], [], []
-        for text, hs, he, ts, te in zip(
-                batch["text"].to_pylist(),
+        import hashlib
+        guids = batch["guid"].to_pylist() if "guid" in batch.schema.names \
+            else [""] * len(batch)
+        rels, e4s, p1s, p2s = [], [], [], []
+        for guid, text, head, tail, hs, he, ts, te in zip(
+                guids, batch["text"].to_pylist(),
+                batch["head_surface"].to_pylist(),
+                batch["tail_surface"].to_pylist(),
                 batch["h_start"].to_pylist(), batch["h_end"].to_pylist(),
                 batch["t_start"].to_pylist(), batch["t_end"].to_pylist()):
             ids, mask, pos1, pos2 = marker_featurize(
                 text, (hs, he), (ts, te), self.max_length)
-            h = int(stable_hash64([ids.tobytes().hex()])[0])
+            key = f"{guid}|{head}|{tail}|{hs}|{ts}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
             rels.append("calls")
-            scores.append(0.5 + (h % 10_000) / 20_000.0)
+            e4s.append(5000 + h % 5000)
             p1s.append(pos1)
             p2s.append(pos2)
+        e4 = np.array(e4s, dtype=np.int64)
         batch = batch.drop_columns(["text", "h_start", "h_end", "t_start",
                                     "t_end"])
         batch = batch.append_column("relation", pa.array(rels, pa.string()))
-        batch = batch.append_column("score", pa.array(scores, pa.float64()))
+        batch = batch.append_column("score_e4", pa.array(e4, pa.int64()))
+        batch = batch.append_column("score",
+                                    pa.array(e4 / 1e4, pa.float64()))
         batch = batch.append_column("pos1", pa.array(p1s, pa.int32()))
         batch = batch.append_column("pos2", pa.array(p2s, pa.int32()))
         return batch
