@@ -104,6 +104,92 @@ def lcs_alignment(orig_text: str, tok_cat_text: str, match_fn=None):
     return orig_to_chartok, chartok_to_orig
 
 
+def lcs_alignment_fast(orig_text: str, tok_cat_text: str):
+    """Anti-diagonal vectorization of :func:`lcs_alignment` (default match
+    rule only) — EXACTLY the same f/g tables and backtrace, test-pinned.
+
+    The scalar banded DP is O(n·band) Python-loop iterations per document —
+    unusable as a per-file pipeline stage. On anti-diagonal ``d = i + j``
+    every in-band cell depends only on diagonals ``d-1`` (up, left) and
+    ``d-2`` (diag), so each diagonal is one numpy slice op; the scalar
+    code's priority order (up, then left if strictly greater, then
+    diag+1 if strictly greater) is reproduced with vector ``where``s and
+    the identical backtrace runs over the dense int8 choice matrix.
+    f values are small integers, so int32 here ≡ the scalar's float32."""
+    n, m = len(orig_text), len(tok_cat_text)
+    if n == 0 or m == 0:
+        return None
+    # one normalization pass over the original text (the scalar path calls
+    # default_char_match per CELL — n·band normalizations)
+    na = np.array(["".join(c for c in unicodedata.normalize("NFKD", ch)
+                           if not unicodedata.combining(c))
+                   for ch in orig_text])
+    tk = np.array(list(tok_cat_text))
+
+    max_dist = abs(n - m) + 5
+    for _ in range(2):
+        G = np.full((n, m), -1, dtype=np.int8)
+        Gf = G.ravel()
+        step = m - 1                           # diagonal stride in raveled G
+        # rolling diagonals with a leading sentinel 0 (index i+1 = row i),
+        # so the up/diag reads for row 0 cost no masking
+        fm1 = np.zeros(n + 1, dtype=np.int32)  # diagonal d-1
+        fm2 = np.zeros(n + 1, dtype=np.int32)  # diagonal d-2
+        cur = np.zeros(n + 1, dtype=np.int32)
+        for d in range(n + m - 1):
+            i_lo = max(0, d - m + 1, -((max_dist - 1 - d) // 2))
+            i_hi = min(n - 1, d, (d + max_dist) // 2)
+            cur.fill(0)
+            if i_lo <= i_hi:
+                up = fm1[i_lo:i_hi + 1]                     # f[i-1, j]
+                left = fm1[i_lo + 1:i_hi + 2].copy()        # f[i, j-1]
+                diag = fm2[i_lo:i_hi + 1].copy()            # f[i-1, j-1]
+                if i_hi == d:                               # j == 0 element
+                    left[-1] = 0
+                    diag[-1] = 0
+                g = np.zeros(i_hi - i_lo + 1, dtype=np.int8)
+                if i_lo == 0:                               # i == 0 element
+                    g[0] = -1
+                f0 = up.astype(np.int32)
+                if i_lo == 0:
+                    f0[0] = 0
+                use_l = left > f0
+                f1 = np.where(use_l, left, f0)
+                g[use_l] = 1
+                match = na[i_lo:i_hi + 1] == tk[d - i_hi:d - i_lo + 1][::-1]
+                use_d = match & (diag + 1 > f1)
+                g[use_d] = 2
+                cur[i_lo + 1:i_hi + 2] = np.where(use_d, diag + 1, f1)
+                if step > 0:
+                    Gf[d + i_lo * step:d + (i_hi + 1) * step:step] = g
+                else:       # m == 1: j ≡ 0, one cell per diagonal at i == d
+                    Gf[d] = g[0]
+            fm2, fm1, cur = fm1, cur, fm2
+        last = int(fm1[n])                     # f[n-1, m-1]
+        if last > 0.8 * n:
+            break
+        max_dist *= 2
+
+    orig_to_chartok: list = [None] * n
+    chartok_to_orig: list = [None] * m
+    i, j = n - 1, m - 1
+    while i >= 0 and j >= 0:
+        c = G[i, j]
+        if c == -1:
+            break
+        if c == 2:
+            orig_to_chartok[i] = j
+            chartok_to_orig[j] = i
+            i, j = i - 1, j - 1
+        elif c == 1:
+            j -= 1
+        else:
+            i -= 1
+    if all(v is None for v in orig_to_chartok) or last < 0.8 * n:
+        return None
+    return orig_to_chartok, chartok_to_orig
+
+
 def convert_index(index: list, pos: int, m: int | None = None,
                   is_start: bool = True) -> int:
     """``_convert_index`` (``mrc_utils.py:43-76``): nearest aligned
@@ -152,7 +238,9 @@ def token_to_orig_maps(para_tokens: list[str], paragraph_text: str,
         char_cnt += len(new_token)
         tok_end_to_chartok.append(char_cnt - 1)
     tok_cat_text = "".join(para_tokens).replace(SPIECE_UNDERLINE, " ")
-    al = lcs_alignment(paragraph_text, tok_cat_text, match_fn)
+    al = lcs_alignment_fast(paragraph_text, tok_cat_text) \
+        if match_fn is None else \
+        lcs_alignment(paragraph_text, tok_cat_text, match_fn)
     if al is None:
         return None
     _, chartok_to_orig = al

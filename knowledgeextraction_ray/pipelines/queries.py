@@ -733,6 +733,39 @@ TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf
 
+def q_mrc_token_answers(sf_dir: str):
+    """TOKEN-level MRC (real-tokenizer composition): SP-style whitespace
+    tokenizer → banded-LCS char↔token alignment → token windows
+    (doc_stride=64, max_query_length=64 per the reference's
+    ``config/mrc_processor.json``) → ``convert_index`` span mapping back to
+    original chars. Rows-only by necessity (the LCS alignment is not
+    SQL-expressible); the alignment core is differentially tested against
+    the reference's own ``_convert_index`` and the zero-features modes are
+    pytest-pinned. Output mirrors ``mrc_answers``'s reduced shape."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..corpus import corpus_parquet_dir, ensure_corpus
+    from ..stages.mrc import token_mrc_pipeline
+    ensure_corpus(sf_dir)
+    corpus = rd.read_parquet(corpus_parquet_dir(sf_dir), columns=["content"])
+    nbest = token_mrc_pipeline(corpus)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        ents = batch["entities"].to_pylist()
+        probs = batch["probabilities"].to_pylist()
+        top = np.array([p[0] if p else 0.0 for p in probs])
+        top = np.floor(top * 1e6 + 0.5) / 1e6        # half-away 6dp
+        return pa.Table.from_pydict({
+            "example_id": batch["example_id"],
+            "n_entities": pa.array([len(e) for e in ents], pa.int64()),
+            "top_prob": pa.array(top, pa.float64()),
+            "na_prob": batch["na_prob"],
+            "final_answer": batch["final_answer"],
+        })
+    return nbest.map_batches(shape, batch_format="pyarrow")
+
+
 # gated as of round 3 (oracle.py segment/window restatements) — in
 # KG_QUERIES so the pytest oracle-parity parametrization covers them
 KG_QUERIES["mrc_nbest"] = q_mrc_nbest
@@ -741,6 +774,7 @@ KG_QUERIES["prep_tagger_records"] = q_prep_tagger_records
 
 ROWS_ONLY_QUERIES = {
     "ner_eval_prf": q_ner_eval_prf,
+    "mrc_token_answers": q_mrc_token_answers,
 }
 
 

@@ -419,6 +419,220 @@ def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32,
                         batch_format="pandas"))
 
 
+# ---------------------------------------------------------------------------
+# token-level (real-tokenizer) MRC shape — M11 with alignment in the loop
+# ---------------------------------------------------------------------------
+
+# reference config/mrc_processor.json: the token-window knobs
+TOKEN_MAX_SEQ_LENGTH = 384
+TOKEN_DOC_STRIDE = 64
+TOKEN_MAX_QUERY_LENGTH = 64
+# reference LCS buffer cap (mrc_utils.py:121,156-161): examples whose text
+# or token text exceeds it emit ZERO features (the example is dropped)
+TOKEN_LCS_CAP = 1024
+
+
+def sp_tokenize(text: str) -> list[str]:
+    """Deterministic SentencePiece-style stand-in tokenizer: whitespace
+    words, each carrying the ▁ marker. Its concatenated token text
+    normalizes every whitespace RUN to one space — a real normalizing
+    tokenizer's distortion, so the char↔token alignment is non-trivial
+    (indent/newline chars have no aligned token char and resolve through
+    ``convert_index`` interpolation). A real sentencepiece model drops in
+    here unchanged."""
+    from ..functions.alignment import SPIECE_UNDERLINE
+    return [SPIECE_UNDERLINE + w for w in text.split()]
+
+
+def _context_token_maps(context: str):
+    """context → (starts, ends) per-token ORIGINAL char spans via the
+    banded-LCS alignment, or None on either reference failure mode (LCS
+    buffer cap, <80% match). (``mrc_utils.py:140-244``)."""
+    from ..functions.alignment import token_to_orig_maps
+    toks = sp_tokenize(context)
+    if not toks:
+        return None
+    tok_cat_len = sum(len(t) for t in toks)
+    if len(context) > TOKEN_LCS_CAP or tok_cat_len > TOKEN_LCS_CAP:
+        return None
+    maps = token_to_orig_maps(toks, context)
+    if maps is None:
+        return None
+    starts, ends = maps
+    return (np.asarray(starts, np.int64), np.asarray(ends, np.int64),
+            len(toks))
+
+
+def _token_doc_spans(n_tokens: int, max_tokens_for_doc: int,
+                     doc_stride: int) -> list[tuple[int, int]]:
+    """Reference sliding-window construction (``mrc_utils.py:252-264``)."""
+    spans = []
+    start = 0
+    while start < n_tokens:
+        length = min(n_tokens - start, max_tokens_for_doc)
+        spans.append((start, length))
+        if start + length == n_tokens:
+            break
+        start += min(length, doc_stride)
+    return spans
+
+
+def _token_feature_rows(example_ids, qtypes, contexts, patterns,
+                        n_top: int, max_seq_length: int, doc_stride: int,
+                        max_query_length: int) -> pd.DataFrame:
+    """Token-space feature rows: grammar matches stand in for the model's
+    span candidates, mapped char→token through the LCS maps; window
+    containment, per-window beam rank and max-context ownership all run in
+    TOKEN indices (``_check_is_max_context`` over the token position,
+    ``mrc_utils.py:80-114``); ``answer_text`` maps token span → original
+    chars through the alignment (``context[starts[ts] : ends[te]+1]``) —
+    the output that a wrong alignment corrupts."""
+    cols = {f.name: [] for f in FEATURE_SCHEMA}
+    map_cache: dict[str, object] = {}    # keyed by value: the 4 questions
+    for ex_id, qtype, context in zip(example_ids, qtypes, contexts):
+        if context not in map_cache:     # share one LCS per context
+            map_cache[context] = _context_token_maps(context)
+        m = map_cache[context]
+        if m is None:
+            continue                      # zero features (reference mode)
+        starts, ends, n_toks = m
+        q_toks = sp_tokenize(QUESTIONS[qtype])[:max_query_length]
+        max_tokens_for_doc = max_seq_length - len(q_toks) - 3
+        spans = _token_doc_spans(n_toks, max_tokens_for_doc, doc_stride)
+
+        cands = []                        # (ts, te, text)
+        for mt in patterns[qtype].finditer(context):
+            g_s, g_e = mt.start(1), mt.end(1)
+            ts = int(np.searchsorted(ends, g_s, "left"))
+            te = int(np.searchsorted(starts, g_e - 1, "right")) - 1
+            if ts > te or ts >= n_toks or te < 0:
+                continue
+            cands.append((ts, te,
+                          context[int(starts[ts]):int(ends[te]) + 1]))
+
+        def owner_of(pos: int) -> int:
+            best, best_w = None, -1
+            for w, (s, ln) in enumerate(spans):
+                e = s + ln - 1
+                if pos < s or pos > e:
+                    continue
+                score = min(pos - s, e - pos) + 0.01 * ln
+                if best is None or score > best:
+                    best, best_w = score, w
+            return best_w
+
+        for w, (s, ln) in enumerate(spans):
+            e = s + ln - 1
+            contained = [(ts, te, txt) for (ts, te, txt) in cands
+                         if ts >= s and te <= e]
+            contained.sort(key=lambda c: (c[0], c[1]))
+            cols["example_id"].append(ex_id)
+            cols["doc_span_index"].append(w)
+            cols["span_start"].append(s)
+            cols["cand_start"].append(-1)
+            cols["cand_end"].append(-1)
+            cols["start_log_prob"].append(-1e4)
+            cols["end_log_prob"].append(-1e4)
+            cols["cls_logit"].append(-5.0 if contained else 5.0)
+            cols["answer_text"].append("")
+            for rank, (ts, te, txt) in enumerate(contained[:n_top]):
+                if owner_of(ts) != w:
+                    continue
+                cols["example_id"].append(ex_id)
+                cols["doc_span_index"].append(w)
+                cols["span_start"].append(s)
+                cols["cand_start"].append(ts)
+                cols["cand_end"].append(te)
+                cols["start_log_prob"].append(-0.1 * rank)
+                cols["end_log_prob"].append(-0.05 * rank)
+                cols["cls_logit"].append(0.0)
+                cols["answer_text"].append(txt)
+    return pd.DataFrame(cols)
+
+
+class MrcTokenScorer:
+    """Actor (staged shape): examples → token-space feature rows."""
+
+    def __init__(self, start_n_top: int = 5,
+                 max_seq_length: int = TOKEN_MAX_SEQ_LENGTH,
+                 doc_stride: int = TOKEN_DOC_STRIDE,
+                 max_query_length: int = TOKEN_MAX_QUERY_LENGTH):
+        self.patterns = {t: re.compile(p)
+                         for t, p in MENTION_PATTERNS.items()}
+        self.n_top = start_n_top
+        self.max_seq_length = max_seq_length
+        self.doc_stride = doc_stride
+        self.max_query_length = max_query_length
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qtypes = [QTYPE_OF[q] for q in batch["question"].to_pylist()]
+        df = _token_feature_rows(batch["example_id"].to_pylist(), qtypes,
+                                 batch["context"].to_pylist(),
+                                 self.patterns, self.n_top,
+                                 self.max_seq_length, self.doc_stride,
+                                 self.max_query_length)
+        return from_pandas_clean(df, schema=FEATURE_SCHEMA,
+                                 preserve_index=False)
+
+
+def _token_fused_batch(batch: pa.Table, *, n_top: int, max_seq_length: int,
+                       doc_stride: int, max_query_length: int,
+                       n_best: int,
+                       null_threshold: float | None) -> pa.Table:
+    from ..functions.hashing import sha256_hex
+    from ..runtime import worker_state
+    patterns = worker_state(("mrc_token_pats",),
+                            lambda: {t: re.compile(p)
+                                     for t, p in MENTION_PATTERNS.items()})
+    ex_ids, qts, ctxs = [], [], []
+    for content in batch["content"].to_pylist():
+        sha = sha256_hex(content)
+        for qtype in QUESTIONS:
+            ex_ids.append(f"{sha}:{qtype}")
+            qts.append(qtype)
+            ctxs.append(content)
+    df = _token_feature_rows(ex_ids, qts, ctxs, patterns, n_top,
+                             max_seq_length, doc_stride, max_query_length)
+    merged = _merge_bucket(df, n_best, null_threshold) if len(df) else \
+        pd.DataFrame({f.name: pd.Series([], dtype=object)
+                      for f in NBEST_SCHEMA})
+    return from_pandas_clean(merged, schema=NBEST_SCHEMA,
+                             preserve_index=False)
+
+
+def token_mrc_pipeline(corpus_ds, n_top: int = 5,
+                       max_seq_length: int = TOKEN_MAX_SEQ_LENGTH,
+                       doc_stride: int = TOKEN_DOC_STRIDE,
+                       max_query_length: int = TOKEN_MAX_QUERY_LENGTH,
+                       n_best: int = 20,
+                       null_threshold: float | None = 0.0,
+                       mode: str = "fused"):
+    """corpus → per-(file × question) n-best rows through the TOKEN-level
+    featurizer: real-tokenizer windowing (doc_stride / max_query_length per
+    the reference's ``config/mrc_processor.json``), banded-LCS char↔token
+    alignment, ``convert_index`` span mapping, and the reference's
+    zero-features failure modes (LCS cap, <80% match → example dropped).
+    Same fused/staged duality as :func:`mrc_pipeline`, same merge kernel."""
+    from ..runtime import pool_size
+    kw = {"n_top": n_top, "max_seq_length": max_seq_length,
+          "doc_stride": doc_stride, "max_query_length": max_query_length}
+    if mode == "fused":
+        return corpus_ds.map_batches(
+            _token_fused_batch,
+            fn_kwargs={**kw, "n_best": n_best,
+                       "null_threshold": null_threshold},
+            batch_format="pyarrow")
+    examples = corpus_ds.map_batches(build_examples, batch_format="pyarrow")
+    scored = examples.map_batches(
+        MrcTokenScorer,
+        fn_constructor_kwargs={"start_n_top": n_top,
+                               "max_seq_length": max_seq_length,
+                               "doc_stride": doc_stride,
+                               "max_query_length": max_query_length},
+        batch_format="pyarrow", concurrency=(1, pool_size(1.0)))
+    return nbest_merge(scored, n_best, null_threshold=null_threshold)
+
+
 def mrc_answer_f1(nbest_pdf, gold_map: dict[str, set[str]]) -> dict:
     """Answer-set EM / precision / recall / F1 per SQuAD-style eval
     (``run_mrc_albert.py`` squad F1 analog, computed over entity SETS since

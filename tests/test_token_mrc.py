@@ -1,0 +1,172 @@
+"""Token-level MRC: alignment differential tests against the reference's
+own ``_convert_index`` (ast-extracted from
+``/root/reference/knowledgeextractor/utils/mrc_utils.py`` — the module
+imports tensorflow at top level, so the TF-free function is compiled out of
+its AST), fast-LCS ≡ scalar pinning, the reference zero-features failure
+modes, and fused ≡ staged equality for the token pipeline."""
+
+import ast
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+MRC_UTILS = "/root/reference/knowledgeextractor/utils/mrc_utils.py"
+
+
+@pytest.fixture(scope="module")
+def ref_convert_index():
+    with open(MRC_UTILS) as f:
+        tree = ast.parse(f.read())
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "_convert_index")
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns: dict = {}
+    exec(compile(mod, MRC_UTILS, "exec"), ns)
+    return ns["_convert_index"]
+
+
+def _random_index(rs, n, m):
+    """Monotone partial alignment vector like chartok_to_orig: some None."""
+    vals = sorted(rs.choice(m, size=rs.randint(1, min(n, m) + 1),
+                            replace=False).tolist())
+    idx = [None] * n
+    pos = sorted(rs.choice(n, size=len(vals), replace=False).tolist())
+    for p, v in zip(pos, vals):
+        idx[p] = v
+    return idx
+
+
+def test_convert_index_matches_reference(ref_convert_index):
+    from knowledgeextraction_ray.functions.alignment import convert_index
+    rs = np.random.RandomState(11)
+    checked = 0
+    for _ in range(300):
+        n, m = rs.randint(2, 30), rs.randint(2, 30)
+        idx = _random_index(rs, n, m)
+        for pos in range(n):
+            for is_start in (True, False):
+                for mm in (None, m):
+                    a = convert_index(idx, pos, mm, is_start)
+                    b = ref_convert_index(list(idx), pos, mm, is_start)
+                    assert a == b, (idx, pos, mm, is_start, a, b)
+                    checked += 1
+    assert checked > 10_000
+
+
+def test_lcs_fast_equals_scalar_on_corpus():
+    from knowledgeextraction_ray.corpus import generate_file
+    from knowledgeextraction_ray.functions.alignment import (
+        lcs_alignment, lcs_alignment_fast)
+    for j in range(6):
+        t = generate_file(j)["content"]
+        tok_cat = " " + " ".join(t.split())
+        a = lcs_alignment(t, tok_cat)
+        b = lcs_alignment_fast(t, tok_cat)
+        assert a is not None and b is not None
+        assert a[0] == b[0] and a[1] == b[1]
+
+
+def test_lcs_fast_equals_scalar_random():
+    from knowledgeextraction_ray.functions.alignment import (
+        lcs_alignment, lcs_alignment_fast)
+    rs = np.random.RandomState(3)
+    for _ in range(60):
+        n = rs.randint(1, 100)
+        orig = "".join(rs.choice(list("abcdé \n\tXY"), n))
+        r = rs.rand()
+        if r < 0.3:
+            tok = "".join(rs.choice(list("qrstuv"), max(1, n // 2)))
+        elif r < 0.4:
+            tok = orig[0]
+        else:
+            tok = " " + " ".join(orig.split()) if orig.split() else "x"
+        a = lcs_alignment(orig, tok)
+        b = lcs_alignment_fast(orig, tok)
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a[0] == b[0] and a[1] == b[1]
+
+
+def test_token_maps_zero_feature_modes():
+    """The two reference failure modes drop the example: (a) text past the
+    1024 LCS buffer cap (mrc_utils.py:121,156-161), (b) LCS match < 80%
+    (mrc_utils.py:214-230)."""
+    from knowledgeextraction_ray.stages.mrc import (_context_token_maps,
+                                                    _token_feature_rows)
+    import re
+
+    from knowledgeextraction_ray.corpus import MENTION_PATTERNS
+    assert _context_token_maps("x " * 600) is None          # cap
+    pats = {t: re.compile(p) for t, p in MENTION_PATTERNS.items()}
+    df = _token_feature_rows(["e1:FUNC"], ["FUNC"], ["x " * 600], pats,
+                             5, 384, 64, 64)
+    assert len(df) == 0                                     # zero features
+
+
+def test_token_alignment_maps_words():
+    """On whitespace-normalized token text the maps land each token on its
+    original word span; answers recovered through convert_index cover the
+    original identifier."""
+    from knowledgeextraction_ray.stages.mrc import _context_token_maps
+    ctx = "import alpha\ndef beta(x):\n    v0 = gamma(x)\n"
+    starts, ends, n = _context_token_maps(ctx)
+    toks = ctx.split()
+    # every token's mapped orig span contains the token's word text
+    for t, w in enumerate(toks):
+        assert w in ctx[int(starts[t]):int(ends[t]) + 1]
+
+
+def test_token_mrc_fused_equals_staged(corpus_ready):
+    from knowledgeextraction_ray.corpus import corpus_parquet_dir
+    from knowledgeextraction_ray.stages.mrc import token_mrc_pipeline
+    corpus = rd.read_parquet(corpus_parquet_dir(corpus_ready),
+                             columns=["content"]).limit(60)
+
+    def run(mode):
+        pdf = token_mrc_pipeline(corpus, mode=mode).to_pandas()
+        pdf["entities"] = pdf["entities"].apply(tuple)
+        pdf["probabilities"] = pdf["probabilities"].apply(
+            lambda v: tuple(np.round(np.asarray(v, dtype=np.float64), 9)))
+        return pdf.sort_values("example_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(run("fused"), run("staged"))
+
+
+def test_token_mrc_multiwindow_ownership():
+    """A context with more tokens than max_tokens_for_doc produces multiple
+    sliding windows; every candidate is emitted exactly once (by its
+    max-context owner) and window bookkeeping matches the reference's
+    construction."""
+    import re
+
+    from knowledgeextraction_ray.corpus import MENTION_PATTERNS
+    from knowledgeextraction_ray.stages.mrc import (_token_doc_spans,
+                                                    _token_feature_rows)
+    words = ["w%d" % i for i in range(200)]
+    ctx = "def alpha(x):\n" + " ".join(words) + "\ndef omega(y):\n"
+    pats = {t: re.compile(p) for t, p in MENTION_PATTERNS.items()}
+    df = _token_feature_rows(["e:FUNC"], ["FUNC"], [ctx], pats,
+                             5, 64, 16, 8)   # small windows → many spans
+    spans = _token_doc_spans(len(ctx.split()), 64 - 5 - 3, 16)
+    assert len(spans) > 3
+    cls_rows = df[df["cand_start"] == -1]
+    assert len(cls_rows) == len(spans)       # one cls row per window
+    real = df[df["cand_start"] >= 0]
+    # both defs found, each emitted exactly once despite window overlap
+    assert real["answer_text"].str.contains("alpha").sum() == 1
+    assert real["answer_text"].str.contains("omega").sum() == 1
+
+
+def test_mrc_token_answers_query(corpus_ready):
+    """Driver query sanity on the real corpus: every example with entities
+    carries a final answer consistent with na odds; answers are original-
+    text substrings (alignment produced valid char spans)."""
+    from knowledgeextraction_ray.pipelines.queries import q_mrc_token_answers
+    pdf = q_mrc_token_answers(corpus_ready).to_pandas()
+    assert len(pdf) > 0
+    assert (pdf.loc[pdf["n_entities"] > 0, "na_prob"] <= 5.0).all()
+    answered = pdf[pdf["final_answer"] != ""]
+    assert len(answered) > 0
+    assert (answered["n_entities"] > 0).all()
+    assert (answered["na_prob"] < 0).all()
