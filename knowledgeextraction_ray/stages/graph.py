@@ -20,11 +20,13 @@ Distribution: edges are the big side and STREAM; ranks/out-degrees are the
 small side and BROADCAST (``ray.put`` once per iteration, dereferenced once
 per worker). Per-batch contributions pre-aggregate by destination inside the
 task (combiner), and the per-iteration exchange is one ``bucketed_agg`` over
-destination nodes. The node table must fit one process in both modes (it is
-rebuilt on the driver between iterations to re-broadcast); for vocabularies
-beyond broadcast size the contribution join flips to a ``bucketed_join`` on
-src — the ``stages/joins`` machinery — at the cost of shuffling edges per
-iteration. ``mode="driver"`` (default below ``driver_limit`` edges) runs the
+destination nodes. The broadcast mode's node table must fit one process (it
+is rebuilt on the driver between iterations to re-broadcast); for
+vocabularies beyond broadcast size ``mode="joined"`` keeps the rank table a
+DATASET end-to-end — contributions via a ``bucketed_join`` on src, re-base
+via a left join on node — at the cost of shuffling edges per iteration
+(:func:`_pagerank_joined`). ``mode="driver"`` (default below
+``driver_limit`` edges) runs the
 same integer recurrence in one numpy process — measured-right at this
 sandbox's scale (a distributed groupby costs ~7-10 s fixed; see
 ``stages/groupagg``); equality driver ≡ distributed is test-pinned.
@@ -86,18 +88,102 @@ class _Contrib:
         return from_pandas_clean(out, preserve_index=False)
 
 
+def _pagerank_joined(edges_ds, deg_ds, iters: int, scale: int,
+                     damping_pct: int, num_buckets: int):
+    """Fully dataset-resident PageRank (the past-broadcast scale path):
+    ranks live as a (node, r) DATASET throughout — nothing node-shaped ever
+    lands on the driver (r2 verdict item 5).
+
+    Static prep: out-degrees attach to the edge list ONCE (one
+    ``bucketed_join`` — outdeg never changes), and the node table is one
+    bucketed distinct. Per iteration: join ranks into the degree-carrying
+    edges on src (shuffle 1), per-batch combiner pre-aggregates
+    contributions by dst, ``bucketed_agg`` sums them (shuffle 2), and a
+    LEFT join against the node table re-bases missing nodes (shuffle 3).
+    Integer semantics identical to the other modes (test-pinned);
+    ``bucketed_join``'s null-pad float64 round-trip is exact while ranks
+    stay < 2^53 (corpus mass ≤ ~9e6 node-units per rank — beyond that,
+    swap the pandas merge for an Arrow join). Returns a Dataset."""
+    import pyarrow.compute as pc
+
+    from .groupagg import bucketed_agg
+    from .joins import bucketed_join
+
+    def rename(ds, old: str, new: str):
+        return ds.map_batches(
+            lambda t: t.rename_columns([new if c == old else c
+                                        for c in t.column_names]),
+            batch_format="pyarrow")
+
+    ed = bucketed_join(edges_ds, deg_ds, on="src",
+                       num_buckets=num_buckets).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks() if isinstance(t["src"],
+                                                    pa.ChunkedArray) \
+            else t["src"]
+        d = t["dst"].combine_chunks() if isinstance(t["dst"],
+                                                    pa.ChunkedArray) \
+            else t["dst"]
+        return pa.Table.from_pydict({"node": pa.concat_arrays([s, d])})
+
+    nodes_ds = bucketed_agg(
+        edges_ds.map_batches(node_rows, batch_format="pyarrow"),
+        ["node"], {}, num_buckets=num_buckets).materialize()
+
+    base = scale * (100 - damping_pct) // 100
+    ranks = nodes_ds.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(len(t), scale, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table, damping_pct=damping_pct) -> pa.Table:
+        r = t["r"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        c = (r * damping_pct // 100) // np.maximum(n, 1)
+        out = (pd.DataFrame({"dst": t["dst"].to_pandas(), "c": c})
+               .groupby("dst", sort=False)["c"].sum().reset_index())
+        return from_pandas_clean(out, preserve_index=False)
+
+    def rebase(t: pa.Table) -> pa.Table:
+        c = pc.coalesce(pc.cast(t["c"], pa.int64()),
+                        pa.scalar(0, pa.int64()))
+        return pa.Table.from_pydict({
+            "node": t["node"],
+            "r": pc.add(pa.scalar(base, pa.int64()), c),
+        })
+
+    for _ in range(iters):
+        msgs = bucketed_join(ed, rename(ranks, "node", "src"), on="src",
+                             num_buckets=num_buckets)
+        summed = bucketed_agg(
+            msgs.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"], {"c": ("c", "sum")}, num_buckets=num_buckets)
+        joined = bucketed_join(nodes_ds, rename(summed, "dst", "node"),
+                               on="node", how="left",
+                               num_buckets=num_buckets)
+        ranks = joined.map_batches(rebase,
+                                   batch_format="pyarrow").materialize()
+    return rename(ranks, "r", "rank_e9")
+
+
 def pagerank_dataset(edges_ds, iters: int = 5, scale: int = 10**9,
                      damping_pct: int = 85, mode: str = "auto",
                      driver_limit: int = 5_000_000,
-                     num_buckets: int = 32) -> pd.DataFrame:
+                     num_buckets: int = 32):
     """PageRank over a Dataset of (src, dst) string edges (duplicates are
     deduplicated per mode — pandas on the driver, one bucketed distinct
     distributed).
 
     ``mode="driver"``: one numpy process. ``mode="distributed"``: edges
     stream through a broadcast-ranks contribution stage + ``bucketed_agg``
-    per iteration (edges never sit on the driver). ``auto`` flips on edge
-    count. Both modes produce identical integer ranks (test-pinned)."""
+    per iteration (edges never sit on the driver; the node→rank arrays are
+    rebuilt and re-broadcast per iteration — right while the node table
+    fits one process). ``mode="joined"``: ranks stay a DATASET end-to-end
+    (:func:`_pagerank_joined`) — the path for entity vocabularies beyond
+    broadcast size; returns a Dataset. ``auto`` flips driver→distributed
+    on edge count. All modes produce identical integer ranks
+    (test-pinned)."""
     import ray
 
     from .groupagg import bucketed_agg
@@ -113,8 +199,12 @@ def pagerank_dataset(edges_ds, iters: int = 5, scale: int = 10**9,
     # one bucketed distinct, then node vocab + out-degrees over it
     edges_ds = bucketed_agg(edges_ds, ["src", "dst"],
                             {}, num_buckets=num_buckets).materialize()
-    deg = bucketed_agg(edges_ds, ["src"], {}, num_buckets=num_buckets,
-                       count_alias="n").to_pandas()
+    deg_ds = bucketed_agg(edges_ds, ["src"], {}, num_buckets=num_buckets,
+                          count_alias="n")
+    if mode == "joined":
+        return _pagerank_joined(edges_ds, deg_ds.materialize(), iters,
+                                scale, damping_pct, num_buckets)
+    deg = deg_ds.to_pandas()
     dsts = sorted(edges_ds.select_columns(["dst"]).unique("dst"))
     nodes = pd.unique(pd.concat([deg["src"], pd.Series(dsts, dtype=object)],
                                 ignore_index=True))

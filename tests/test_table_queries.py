@@ -388,8 +388,11 @@ def test_pagerank_semantics_and_mode_equality():
     ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
     drv = pagerank_dataset(ds, iters=5, mode="driver")
     dist = pagerank_dataset(ds, iters=5, mode="distributed")
+    joined = pagerank_dataset(ds, iters=5, mode="joined").to_pandas()
     key = lambda df: df.sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(drv), key(dist))
+    # fully dataset-resident ranks (no node table on the driver) — same ints
+    pd.testing.assert_frame_equal(key(drv), key(joined[["node", "rank_e9"]]))
     by = drv.set_index("node")["rank_e9"]
     assert by["hub"] > by["a"] and by["hub"] > by["c"]
     # dedup happened: same as the explicit-distinct frame
