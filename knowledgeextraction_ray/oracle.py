@@ -634,6 +634,208 @@ left join firsts f on f.sha = c.sha and f.qtype = c.qtype
 """
 
 
+def sql_mrc_token_answers(sf_dir: str, corpus: str | None = None) -> str:
+    """TOKEN-level MRC oracle (``stages/mrc.token_mrc_pipeline`` +
+    ``pipelines/queries.q_mrc_token_answers``'s reduced shape).
+
+    The pipeline's banded-LCS char↔token alignment
+    (``functions/alignment.py``, mirroring ``mrc_utils.py:116-244``) is not
+    SQL-expressible as a DP — but for the SP-style stand-in tokenizer
+    (whitespace words, ▁→space concatenation) the alignment RESULT has a
+    provable closed form, which this oracle restates directly:
+
+    - ``ends[i]`` = original char index of word *i*'s last char (every word
+      char is matched by the LCS);
+    - ``starts[i]`` = the FIRST literal space of the whitespace gap before
+      word *i* when the gap contains one (the DP's forward pass sets the
+      match flag at the earliest in-band row that strictly improves, and
+      the backtrace's up-move precedence lands on it), else the first gap
+      char via ``convert_index`` front-interpolation (= ``prev_end + 1``),
+      else 0 for a leading no-space gap;
+    - zero-features exclusions: no tokens, either LCS buffer side over the
+      1024 cap, or matched chars (word chars + one per space-bearing gap)
+      ≤ 0.8·len — the reference's MISMATCH bail-out
+      (``mrc_utils.py:216-230``).
+
+    Tie-break assumptions (earliest-space match; band wide enough that the
+    banded DP equals the true LCS) are exactly what the hash gate checks —
+    validated against the Python alignment over the full sf0.01 corpus.
+    Downstream restates ``_token_feature_rows`` in token space: candidate
+    char span → token span via rank counts (``searchsorted`` ≡ filtered
+    counts over the token table), sliding windows over token counts with a
+    per-question ``max_tokens_for_doc``, per-window (ts, te) beam rank,
+    max-context ownership of the candidate's START token over ALL
+    position-containing windows (``mrc_utils.py:80-114``), ±5 per-window
+    cls rows, and the ``get_predictions_v2`` fan-in with 6dp-both-sides
+    softmax rounding."""
+    from .stages.mrc import (QUESTIONS, TOKEN_DOC_STRIDE, TOKEN_LCS_CAP,
+                             TOKEN_MAX_QUERY_LENGTH, TOKEN_MAX_SEQ_LENGTH,
+                             sp_tokenize)
+    corpus = corpus or corpus_glob(sf_dir)
+    T = TOKEN_DOC_STRIDE
+    n_top, n_best, cap = 5, 20, TOKEN_LCS_CAP
+    # per-question max_tokens_for_doc (the question token count is a seeded
+    # constant of the pipeline → embedded as a literal, CLAUDE.md technique)
+    qs = ", ".join(
+        f"('{t}', {TOKEN_MAX_SEQ_LENGTH - len(sp_tokenize(q)[:TOKEN_MAX_QUERY_LENGTH]) - 3})"
+        for t, q in QUESTIONS.items())
+    branches = "\nunion all\n".join(f"""
+  select sha, '{lab}' as qtype,
+         {_group_prefix_len(MENTION_PATTERNS[lab])} as plen,
+         string_split_regex(content, '{MENTION_PATTERNS[lab]}') as parts,
+         regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 0) as fulls,
+         regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 1) as grps
+  from elig""" for lab in MENTION_PATTERNS)
+    return f"""
+with files as materialized (
+  select distinct sha256(content) as sha, content, length(content) as L
+  from read_parquet('{corpus}')),
+tk as (
+  select sha, content, L,
+         regexp_extract_all(content, '\\S+') as ws,
+         string_split_regex(content, '\\S+') as gaps,
+         length(regexp_replace(content, '\\s', '', 'g')) as nonws
+  from files),
+elig as materialized (
+  select sha, content, L, ws, gaps, len(ws) as n_toks
+  from tk
+  where len(ws) > 0 and L <= {cap} and nonws + len(ws) <= {cap}
+    and cast(nonws + len(list_filter(gaps[1:len(ws)],
+                                     g -> contains(g, ' '))) as double)
+        > 0.8 * L),
+tokrows as (
+  select sha, unnest(range(1, n_toks + 1)) as i,
+         unnest(ws) as w, unnest(gaps[1:n_toks]) as gap
+  from elig),
+tokpos as (
+  select sha, i, w, gap,
+         cast(sum(length(gap) + length(w)) over (
+             partition by sha order by i
+             rows between unbounded preceding and current row)
+           - length(w) as bigint) as wstart
+  from tokrows),
+tok as materialized (
+  select sha, i - 1 as ti,
+         case when strpos(gap, ' ') > 0
+              then wstart - length(gap) + strpos(gap, ' ') - 1
+              else wstart - length(gap) end as tstart,
+         wstart + length(w) - 1 as tend
+  from tokpos),
+qm as (select * from (values {qs}) q(qtype, S)),
+nw as materialized (
+  select e.sha, q.qtype, q.S, e.n_toks,
+         (greatest(1, e.n_toks - q.S + {T}) + {T} - 1) // {T} as n_win
+  from elig e cross join qm q),
+sp as ({branches}),
+mrows as (
+  select sha, qtype, plen,
+         unnest(range(1, len(fulls) + 1)) as k,
+         unnest(fulls) as fm, unnest(grps) as gm,
+         unnest(parts[1:len(fulls)]) as pre
+  from sp where len(fulls) > 0),
+cand as (
+  select sha, qtype, k, gm,
+         cast(sum(length(pre) + length(fm)) over (
+             partition by sha, qtype order by k
+             rows between unbounded preceding and current row)
+           - length(fm) + plen as bigint) as g_s,
+         cast(sum(length(pre) + length(fm)) over (
+             partition by sha, qtype order by k
+             rows between unbounded preceding and current row)
+           - length(fm) + plen + length(gm) as bigint) as g_e
+  from mrows),
+candtok as (
+  select c.sha, c.qtype, c.k,
+         count(*) filter (where t.tend < c.g_s) as ts,
+         coalesce(max(t.ti) filter (where t.tstart <= c.g_e - 1), -1) as te
+  from cand c join tok t using (sha)
+  group by c.sha, c.qtype, c.k),
+vc as materialized (
+  select ct.sha, ct.qtype, ct.k, ct.ts, ct.te,
+         substr(e.content, tsx.tstart + 1,
+                tex.tend - tsx.tstart + 1) as text
+  from candtok ct
+  join elig e using (sha)
+  join tok tsx on tsx.sha = ct.sha and tsx.ti = ct.ts
+  join tok tex on tex.sha = ct.sha and tex.ti = ct.te
+  where ct.te >= 0 and ct.ts <= ct.te and ct.ts < e.n_toks),
+vcw as materialized (
+  select v.sha, v.qtype, v.k, v.ts, v.te, v.text,
+         n.S, n.n_toks, n.n_win,
+         greatest(0, cast(ceil((v.te + 1 - n.S) / {T}.0) as bigint)) as i_lo,
+         least(v.ts // {T}, n.n_win - 1) as i_hi,
+         greatest(0, cast(ceil((v.ts + 1 - n.S) / {T}.0) as bigint)) as p_lo,
+         least(v.ts // {T}, n.n_win - 1) as p_hi
+  from vc v join nw n using (sha, qtype)),
+mw as materialized (
+  select sha, qtype, k, ts, te, text, S, n_toks,
+         unnest(range(i_lo, i_hi + 1)) as win
+  from vcw where i_lo <= i_hi),
+owned as (
+  select sha, qtype, k, win,
+         row_number() over (
+             partition by sha, qtype, k
+             order by least(ts - win * {T},
+                            win * {T} + least(S, n_toks - win * {T}) - 1 - ts)
+                      + 0.01 * least(S, n_toks - win * {T}) desc,
+                      win asc) as own_rn
+  from (select sha, qtype, k, ts, S, n_toks,
+               unnest(range(p_lo, p_hi + 1)) as win
+        from vcw where p_lo <= p_hi)),
+ranked as (
+  select sha, qtype, k, ts, te, text, win,
+         row_number() over (partition by sha, qtype, win
+                            order by ts, te, k) - 1 as rnk
+  from mw),
+emitted as (
+  select r.sha, r.qtype, r.ts, r.te, r.text,
+         -0.1 * r.rnk as s_lp, -0.05 * r.rnk as e_lp
+  from ranked r
+  join owned o on o.sha = r.sha and o.qtype = r.qtype and o.k = r.k
+              and o.win = r.win and o.own_rn = 1
+  where r.rnk < {n_top}),
+wins as (
+  select sha, qtype, unnest(range(0, n_win)) as win from nw),
+cls as materialized (
+  select w.sha, w.qtype,
+         avg(case when c.win is not null then -5.0 else 5.0 end) as na_prob
+  from wins w
+  left join (select distinct sha, qtype, win from mw) c
+    on c.sha = w.sha and c.qtype = w.qtype and c.win = w.win
+  group by w.sha, w.qtype),
+cell as (
+  select sha, qtype, ts, te, min(text) as text,
+         avg(s_lp) + avg(e_lp) as total
+  from emitted group by sha, qtype, ts, te),
+deduped as (
+  select *, row_number() over (
+      partition by sha, qtype, text
+      order by total desc, ts asc, te asc) as dup_rn
+  from cell),
+kept as (
+  select sha, qtype, text, total,
+         row_number() over (partition by sha, qtype
+                            order by total desc, ts asc, te asc) as ord
+  from deduped where dup_rn = 1
+  qualify ord <= {n_best}),
+kept_mx as (
+  select *, max(total) over (partition by sha, qtype) as mx from kept),
+agg as (
+  select sha, qtype, cast(count(*) as bigint) as n_entities,
+         round(1.0 / sum(exp(total - mx)), 6) as top_prob,
+         min(case when ord = 1 then text end) as top_text
+  from kept_mx group by sha, qtype)
+select c.sha || ':' || c.qtype as example_id,
+       coalesce(a.n_entities, 0) as n_entities,
+       coalesce(a.top_prob, 0.0) as top_prob,
+       c.na_prob,
+       case when a.top_text is not null and c.na_prob < 0.0
+            then a.top_text else '' end as final_answer
+from cls c
+left join agg a on a.sha = c.sha and a.qtype = c.qtype
+"""
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
@@ -652,4 +854,5 @@ KG_ORACLES = {
     "prep_tagger_records": sql_prep_tagger_records,
     "nre_relations": sql_nre_relations,
     "mrc_nbest": sql_mrc_nbest,
+    "mrc_token_answers": sql_mrc_token_answers,
 }

@@ -738,18 +738,28 @@ def q_mrc_token_answers(sf_dir: str):
     tokenizer → banded-LCS char↔token alignment → token windows
     (doc_stride=64, max_query_length=64 per the reference's
     ``config/mrc_processor.json``) → ``convert_index`` span mapping back to
-    original chars. Rows-only by necessity (the LCS alignment is not
-    SQL-expressible); the alignment core is differentially tested against
-    the reference's own ``_convert_index`` and the zero-features modes are
-    pytest-pinned. Output mirrors ``mrc_answers``'s reduced shape."""
-    import numpy as np
+    original chars. SQL-gated (r3): the LCS DP itself is not
+    SQL-expressible, but for the SP stand-in tokenizer its RESULT has a
+    provable closed form (word ends; first gap space / ``convert_index``
+    interpolation for starts) that ``oracle.sql_mrc_token_answers``
+    restates — so the whole token-window composition is value-hashed. The
+    alignment core stays differentially tested against the reference's own
+    ``_convert_index`` and the zero-features modes are pytest-pinned.
+    Output mirrors ``mrc_answers``'s reduced shape."""
     import ray.data as rd
 
     from ..corpus import corpus_parquet_dir, ensure_corpus
     from ..stages.mrc import token_mrc_pipeline
     ensure_corpus(sf_dir)
     corpus = rd.read_parquet(corpus_parquet_dir(sf_dir), columns=["content"])
-    nbest = token_mrc_pipeline(corpus)
+    return token_answers_shape(token_mrc_pipeline(corpus))
+
+
+def token_answers_shape(nbest):
+    """n-best rows → the gate's reduced shape (example_id, n_entities,
+    half-away-6dp top prob, na_prob, final_answer) — shared by the driver
+    query and the hand-built edge-corpus parity test."""
+    import numpy as np
 
     def shape(batch: pa.Table) -> pa.Table:
         ents = batch["entities"].to_pylist()
@@ -766,15 +776,15 @@ def q_mrc_token_answers(sf_dir: str):
     return nbest.map_batches(shape, batch_format="pyarrow")
 
 
-# gated as of round 3 (oracle.py segment/window restatements) — in
+# gated as of round 3 (oracle.py segment/window/token restatements) — in
 # KG_QUERIES so the pytest oracle-parity parametrization covers them
 KG_QUERIES["mrc_nbest"] = q_mrc_nbest
 KG_QUERIES["nre_relations"] = q_nre_relations
 KG_QUERIES["prep_tagger_records"] = q_prep_tagger_records
+KG_QUERIES["mrc_token_answers"] = q_mrc_token_answers
 
 ROWS_ONLY_QUERIES = {
     "ner_eval_prf": q_ner_eval_prf,
-    "mrc_token_answers": q_mrc_token_answers,
 }
 
 

@@ -170,3 +170,42 @@ def test_mrc_token_answers_query(corpus_ready):
     assert len(answered) > 0
     assert (answered["n_entities"] > 0).all()
     assert (answered["na_prob"] < 0).all()
+
+
+def test_token_oracle_parity_edge_corpus(tmp_path):
+    """The SQL gate's closed-form alignment restatement holds beyond the
+    generated corpus: leading gaps (with/without a space), tab-only and
+    multi-space internal gaps, and both reference zero-features exclusions
+    (LCS buffer cap, <80% match) — pipeline ≡ oracle on a hand-built
+    parquet, value-compared the driver way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgeextraction_ray.compare import compare
+    from knowledgeextraction_ray.oracle import sql_mrc_token_answers
+    from knowledgeextraction_ray.pipelines.queries import token_answers_shape
+    from knowledgeextraction_ray.stages.mrc import token_mrc_pipeline
+
+    texts = [
+        # leading gap containing a space — ALSO a <80% case (11 word chars
+        # + 2 matched spaces = 13 ≤ 0.8·17): both sides must drop it for
+        # the same reason
+        " \n\t import alpha",
+        " import alef bet gimel",            # leading space gap, eligible
+        "\n\nimport beta",                   # leading gap, no space
+        "import gamma\n\timport delta",      # tab-only internal gap
+        "import  doubled\ndef  spaced(x):",  # multi-space internal gaps
+        "a\nb\nc\nd\ne\nf\ng\nh",           # matched chars ≤ 0.8·len → drop
+        "import " + "x" * 1100,              # over the LCS cap → drop
+        "   \n\t ",                          # whitespace-only → drop
+        "def f(x):\n    y = g()\n    z = f()\n",
+    ]
+    tbl = pa.table({"content": texts})
+    pq.write_table(tbl, tmp_path / "edge.parquet")
+    got = token_answers_shape(token_mrc_pipeline(rd.from_arrow(tbl)))
+    sql = sql_mrc_token_answers("unused",
+                                corpus=str(tmp_path / "edge.parquet"))
+    ok, msg = compare(got, sql)
+    assert ok, msg
+    # the four exclusions really excluded: 5 eligible files × 4 questions
+    assert got.count() == 5 * 4
