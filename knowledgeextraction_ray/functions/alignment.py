@@ -43,12 +43,16 @@ def default_char_match(a: str, b: str) -> bool:
     return na == b
 
 
-def lcs_alignment(orig_text: str, tok_cat_text: str, match_fn=None):
+def lcs_alignment(orig_text: str, tok_cat_text: str, match_fn=None,
+                  _return_tables: bool = False):
     """Banded LCS between ``orig_text`` (len n) and ``tok_cat_text``
     (len m) → ``(orig_to_chartok, chartok_to_orig)`` position maps
     (``None`` at unaligned positions), or ``None`` on the reference's
     mismatch bail-out (LCS < 0.8·n after both band rounds, or no aligned
-    char at all)."""
+    char at all). ``_return_tables`` short-circuits after the band loop and
+    returns the raw ``(f, g)`` DP tables — the differential-test hook that
+    lets ``tests/test_token_mrc.py`` compare them cell-for-cell against the
+    reference's own ``_lcs_match`` (AST-extracted)."""
     match_fn = match_fn or default_char_match
     n, m = len(orig_text), len(tok_cat_text)
     if n == 0 or m == 0:
@@ -83,6 +87,8 @@ def lcs_alignment(orig_text: str, tok_cat_text: str, match_fn=None):
         if f[n - 1, m - 1] > 0.8 * n:
             break
         max_dist *= 2
+    if _return_tables:
+        return f, dict(g)
 
     orig_to_chartok: list[int | None] = [None] * n
     chartok_to_orig: list[int | None] = [None] * m

@@ -209,3 +209,82 @@ def test_token_oracle_parity_edge_corpus(tmp_path):
     assert ok, msg
     # the four exclusions really excluded: 5 eligible files × 4 questions
     assert got.count() == 5 * 4
+
+
+@pytest.fixture(scope="module")
+def ref_lcs_match():
+    """The reference's banded-LCS DP (`_lcs_match`, nested inside
+    ``convert_single_example_to_features`` at ``mrc_utils.py:163-191``),
+    AST-extracted and compiled with its closure variables promoted to
+    injectable globals (the module itself imports tensorflow). Returns a
+    runner: (orig, tok_cat, max_dist_rounds) → (f, g) after the
+    reference's band-doubling loop."""
+    with open(MRC_UTILS) as f:
+        tree = ast.parse(f.read())
+    outer = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+                 and n.name == "convert_single_example_to_features")
+    inner = next(n for n in ast.walk(outer)
+                 if isinstance(n, ast.FunctionDef) and n.name == "_lcs_match")
+
+    class _Tok:                     # tokenization.preprocess_text stand-in
+        @staticmethod
+        def preprocess_text(s, remove_space=False, lower=False):
+            import unicodedata
+            return "".join(c for c in unicodedata.normalize("NFKD", s)
+                           if not unicodedata.combining(c))
+
+    def run(orig: str, tok_cat: str):
+        n, m = len(orig), len(tok_cat)
+        ns = {"np": np, "tokenization": _Tok, "n": n, "m": m,
+              "paragraph_text": orig, "tok_cat_text": tok_cat,
+              "f": np.zeros((max(n, 8), max(m, 8)), dtype=np.float32),
+              "g": {}}
+        mod = ast.Module(body=[inner], type_ignores=[])
+        exec(compile(mod, MRC_UTILS, "exec"), ns)
+        max_dist = abs(n - m) + 5
+        for _ in range(2):          # the reference's band-doubling loop
+            ns["_lcs_match"](max_dist)
+            if ns["f"][n - 1, m - 1] > 0.8 * n:
+                break
+            max_dist *= 2
+        return ns["f"][:n, :m], dict(ns["g"])
+
+    return run
+
+
+def test_lcs_dp_matches_reference(ref_lcs_match):
+    """Cell-for-cell differential of OUR banded-LCS DP tables (f values and
+    g move choices — the tables the backtrace and therefore the oracle's
+    closed-form alignment claims rest on) against the reference's own
+    `_lcs_match`, on corpus-shaped and adversarial whitespace layouts."""
+    from knowledgeextraction_ray.functions.alignment import lcs_alignment
+    from knowledgeextraction_ray.stages.mrc import sp_tokenize
+
+    texts = [
+        "import alpha\n    x = f()\n",
+        " \n\t import alpha",
+        "\n\nimport beta",
+        "a\nb\nc\nd\ne\nf",              # <80% match → band doubles
+        "import gamma\n\timport  delta ",
+        "one two  three\tfour\n five",
+    ]
+    rs = np.random.RandomState(7)
+    words = ["def", "f(x):", "=", "g()", "import", "mod", "#", "y"]
+    for _ in range(10):                    # random whitespace layouts
+        parts = []
+        for w in rs.choice(words, size=rs.randint(1, 12)):
+            parts.append(rs.choice(["", " ", "  ", "\n", "\n    ", "\t"]))
+            parts.append(w)
+        parts.append(rs.choice(["", "\n", " "]))
+        texts.append("".join(parts))
+
+    for ctx in texts:
+        toks = sp_tokenize(ctx)
+        if not toks:
+            continue
+        tok_cat = "".join(toks).replace("▁", " ")
+        f_ref, g_ref = ref_lcs_match(ctx, tok_cat)
+        f_ours, g_ours = lcs_alignment(ctx, tok_cat, _return_tables=True)
+        n, m = len(ctx), len(tok_cat)
+        assert np.array_equal(f_ours[:n, :m], f_ref), repr(ctx)
+        assert g_ours == g_ref, repr(ctx)
