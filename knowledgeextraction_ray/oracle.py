@@ -752,8 +752,10 @@ candtok as (
   group by c.sha, c.qtype, c.k),
 vc as materialized (
   select ct.sha, ct.qtype, ct.k, ct.ts, ct.te,
-         substr(e.content, tsx.tstart + 1,
-                tex.tend - tsx.tstart + 1) as text
+         trim(substr(e.content, tsx.tstart + 1,
+                     tex.tend - tsx.tstart + 1),
+              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+           as text
   from candtok ct
   join elig e using (sha)
   join tok tsx on tsx.sha = ct.sha and tsx.ti = ct.ts

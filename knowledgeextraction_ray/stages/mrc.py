@@ -507,8 +507,14 @@ def _token_feature_rows(example_ids, qtypes, contexts, patterns,
             te = int(np.searchsorted(starts, g_e - 1, "right")) - 1
             if ts > te or ts >= n_toks or te < 0:
                 continue
+            # the reference STRIPS the recovered span before text dedup
+            # (``final_text = paragraph_text[...].strip()``,
+            # mrc_utils.py:410) — without it a start token whose aligned
+            # char is the preceding gap's space leaks whitespace into the
+            # answer
             cands.append((ts, te,
-                          context[int(starts[ts]):int(ends[te]) + 1]))
+                          context[int(starts[ts]):int(ends[te]) + 1]
+                          .strip()))
 
         def owner_of(pos: int) -> int:
             best, best_w = None, -1
