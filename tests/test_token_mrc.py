@@ -1,9 +1,11 @@
-"""Token-level MRC: alignment differential tests against the reference's
-own ``_convert_index`` (ast-extracted from
-``/root/reference/knowledgeextractor/utils/mrc_utils.py`` — the module
-imports tensorflow at top level, so the TF-free function is compiled out of
-its AST), fast-LCS ≡ scalar pinning, the reference zero-features failure
-modes, and fused ≡ staged equality for the token pipeline."""
+"""Token-level MRC: differential tests executing the reference's OWN code
+(ast-extracted from ``/root/reference/knowledgeextractor/utils/mrc_utils.py``
+— the module imports tensorflow at top level, so TF-free pieces are
+compiled out of its AST): ``_convert_index``, the banded-LCS ``_lcs_match``
+DP, and the ``get_predictions_v2`` n-best merge. Plus fast-LCS ≡ scalar
+pinning, the reference zero-features failure modes, fused ≡ staged
+equality, and the hand-built edge-corpus parity for the SQL gate's
+closed-form alignment restatement."""
 
 import ast
 
@@ -291,3 +293,110 @@ def test_lcs_dp_matches_reference(ref_lcs_match):
         n, m = len(ctx), len(tok_cat)
         assert np.array_equal(f_ours[:n, :m], f_ref), repr(ctx)
         assert g_ours == g_ref, repr(ctx)
+
+
+def test_merge_matches_reference_get_predictions_v2():
+    """Differential of OUR n-best merge (`_merge_bucket`, the kernel behind
+    the mrc_answers / mrc_nbest / mrc_token_answers gates) against the
+    reference's own ``get_predictions_v2`` (``mrc_utils.py:350-464``,
+    AST-extracted with its namedtuples and ``_compute_softmax``): same
+    entity order, probabilities, na odds and null-thresholded final answer
+    on real token-feature rows.
+
+    Adapter notes: the reference keeps one prelim prediction per
+    (feature, cell) and resolves total-score ties by (feature order,
+    insertion order); ours keys cells per example and ties by
+    (cand_start, cand_end) — equivalent BECAUSE max-context ownership
+    emits each cell from exactly one feature and owner windows are
+    monotone in token position (asserted below). Empty examples: the
+    reference emits a nonce ''/prob-1.0 entry where ours emits empty
+    lists; both yield final answer ''."""
+    import collections
+    import math
+    import re
+    import types
+
+    from knowledgeextraction_ray.corpus import MENTION_PATTERNS, generate_file
+    from knowledgeextraction_ray.stages.mrc import (_context_token_maps,
+                                                    _merge_bucket,
+                                                    _token_feature_rows)
+
+    with open(MRC_UTILS) as f:
+        tree = ast.parse(f.read())
+    wanted = {"_compute_softmax", "get_predictions_v2"}
+    nodes = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+             and n.name in wanted]
+    # the two namedtuple Assign nodes (_PrelimPrediction, _NbestPrediction)
+    nodes = [n for n in tree.body if isinstance(n, ast.Assign)
+             and any(isinstance(t, ast.Name) and t.id.startswith("_")
+                     and "Prediction" in t.id for t in n.targets)] + nodes
+    ns = {"collections": collections, "math": math}
+    exec(compile(ast.Module(body=nodes, type_ignores=[]), MRC_UTILS, "exec"),
+         ns)
+    ref_merge = ns["get_predictions_v2"]
+
+    contexts = [generate_file(j)["content"] for j in range(8)]
+    contexts += [
+        "def alpha(x):\n" + " ".join("w%d" % i for i in range(200)) +
+        "\ndef omega(y):\n",                       # multi-window
+        "nothing to see here",                     # zero candidates
+        "import  spaced\n\timport tabbed",
+    ]
+    pats = {t: re.compile(p) for t, p in MENTION_PATTERNS.items()}
+    ex_ids = [f"e{j}:FUNC" for j in range(len(contexts))]
+    df = _token_feature_rows(ex_ids, ["FUNC"] * len(contexts), contexts,
+                             pats, 5, 64, 16, 8)   # small windows
+
+    ours = _merge_bucket(df, 20, 0.0).set_index("example_id")
+
+    ctx_of = dict(zip(ex_ids, contexts))
+    examples, features = [], []
+    result_dict, cls_dict = {}, {}
+    for ex_idx, ex_id in enumerate(e for e in ex_ids
+                                   if e in set(df["example_id"])):
+        ctx = ctx_of[ex_id]
+        starts, ends, _ = _context_token_maps(ctx)
+        g = df[df["example_id"] == ex_id]
+        result_dict[ex_idx] = {}
+        cls_dict[ex_idx] = []
+        examples.append(types.SimpleNamespace(paragraph_text=ctx,
+                                              qas_id=ex_id))
+        for w in sorted(g["doc_span_index"].unique()):
+            uid = f"{ex_id}#{w}"
+            gw = g[g["doc_span_index"] == w]
+            real = gw[gw["cand_start"] >= 0].sort_values(
+                ["cand_start", "cand_end"])
+            cells = {}
+            for _, r in real.iterrows():
+                key = (int(r["cand_start"]), int(r["cand_end"]))
+                assert key not in cells       # one emission per cell/window
+                cells[key] = [(float(r["start_log_prob"]),
+                               float(r["end_log_prob"]))]
+            result_dict[ex_idx][uid] = cells
+            cls_dict[ex_idx].extend(
+                float(v) for v in gw.loc[gw["cand_start"] == -1,
+                                         "cls_logit"])
+            features.append(types.SimpleNamespace(
+                example_index=ex_idx, unique_id=uid,
+                tok_start_to_orig_index=list(starts),
+                tok_end_to_orig_index=list(ends)))
+        # each cell emitted by exactly ONE window across the example
+        all_keys = [k for uid in result_dict[ex_idx]
+                    for k in result_dict[ex_idx][uid]]
+        assert len(all_keys) == len(set(all_keys))
+
+    preds, na, nbest = ref_merge(result_dict, cls_dict, examples, features,
+                                 [], 20, None, 0.0)
+
+    assert len(ours) == len(examples)
+    for ex in examples:
+        row = ours.loc[ex.qas_id]
+        assert na[ex.qas_id] == row["na_prob"]
+        assert preds[ex.qas_id] == row["final_answer"]
+        ref_entities = [e["text"] for e in nbest[ex.qas_id]]
+        ref_probs = [e["probability"] for e in nbest[ex.qas_id]]
+        if not row["entities"]:
+            assert ref_entities == [""]       # the reference's nonce entry
+            continue
+        assert ref_entities == list(row["entities"])
+        assert np.allclose(ref_probs, row["probabilities"], atol=1e-12)
