@@ -27,6 +27,7 @@ sentencepiece tokenizer into ``stages/mrc.py``.
 
 from __future__ import annotations
 
+import os
 import unicodedata
 
 import numpy as np
@@ -127,9 +128,7 @@ def lcs_alignment_fast(orig_text: str, tok_cat_text: str):
         return None
     # one normalization pass over the original text (the scalar path calls
     # default_char_match per CELL — n·band normalizations)
-    na = np.array(["".join(c for c in unicodedata.normalize("NFKD", ch)
-                           if not unicodedata.combining(c))
-                   for ch in orig_text])
+    na = _norm_chars(orig_text)
     tk = np.array(list(tok_cat_text))
 
     max_dist = abs(n - m) + 5
@@ -196,6 +195,170 @@ def lcs_alignment_fast(orig_text: str, tok_cat_text: str):
     return orig_to_chartok, chartok_to_orig
 
 
+def _norm_chars(text: str) -> np.ndarray:
+    """Per-char NFKD+strip-combining array (the match rule's left side).
+    ASCII fast path: normalization is the identity, so skip the per-char
+    Python loop that otherwise costs ~1 µs/char."""
+    if text.isascii():
+        return np.array(list(text))
+    return np.array(["".join(c for c in unicodedata.normalize("NFKD", ch)
+                             if not unicodedata.combining(c))
+                     for ch in text])
+
+
+def lcs_alignment_fast_batch(pairs):
+    """Batched :func:`lcs_alignment_fast`: one anti-diagonal DP loop for a
+    whole LIST of (orig_text, tok_cat_text) pairs — identical tables and
+    backtrace per pair (test-pinned against the scalar DP).
+
+    Why: the per-file fast path still runs ~n+m Python-loop diagonals of
+    tiny numpy ops per document (~25 ms/file on corpus-shaped text) and
+    dominated the token-MRC pipeline. Stacking B files turns each diagonal
+    into ops on (B, width) arrays — the Python overhead amortizes across
+    the batch while the C work stays trivial. Pairs are processed in
+    length-sorted sub-batches (padding waste bounded, ~128 MB of
+    match/choice matrices per sub-batch); a pair whose FIRST band round
+    misses the 0.8·n bar falls back to :func:`lcs_alignment_fast` for the
+    reference's band-doubling second round (rare — identical semantics, the
+    first round is deterministic either way).
+
+    Returns a list aligned with ``pairs``: each element the
+    ``(orig_to_chartok, chartok_to_orig)`` maps or ``None`` (mismatch /
+    empty input)."""
+    out: list = [None] * len(pairs)
+    order = sorted((i for i, (o, t) in enumerate(pairs) if o and t),
+                   key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+    # per-sub-batch padded-cell budget (int8 choice matrix = this many
+    # bytes): bounds memory AND the union band width across stacked files
+    # (a wider union means every diagonal op touches more dead cells) —
+    # 4M measured fastest on corpus-shaped files, ~2× over 64M
+    MAX_CELLS = int(os.environ.get("KGRAY_LCS_BATCH_CELLS",
+                                   4 * 1024 * 1024))
+    pos = 0
+    while pos < len(order):
+        # grow the sub-batch until the padded cell budget is hit
+        end = pos
+        n_max = m_max = 1
+        while end < len(order):
+            o, t = pairs[order[end]]
+            nn, mm = max(n_max, len(o)), max(m_max, len(t))
+            if (end - pos + 1) * nn * mm > MAX_CELLS and end > pos:
+                break
+            n_max, m_max = nn, mm
+            end += 1
+        idxs = order[pos:end]
+        pos = end
+        for i, al in zip(idxs, _lcs_batch_round1(
+                [pairs[i] for i in idxs], n_max, m_max)):
+            out[i] = al if al != "fallback" else \
+                lcs_alignment_fast(*pairs[i])
+    return out
+
+
+def _lcs_batch_round1(batch, n_max: int, m_max: int):
+    """First band round of the DP for ``batch`` pairs, padded to
+    (n_max, m_max). Yields per pair: the alignment maps, ``None``
+    (mismatch), or ``"fallback"`` (0.8·n bar missed — needs the doubled
+    band, i.e. the scalar-path second round)."""
+    B = len(batch)
+    ns = np.array([len(o) for o, _ in batch], dtype=np.int64)
+    ms = np.array([len(t) for _, t in batch], dtype=np.int64)
+    band = np.abs(ns - ms) + 5
+    d_last = ns + ms - 2
+
+    norms = [_norm_chars(o) for o, _ in batch]
+    # fixed-width unicode dtype (NOT object — object == is a Python call
+    # per cell) wide enough for the longest NFKD decomposition in the batch;
+    # np.zeros = calloc (np.full of -1/sentinels measured 60% of the whole
+    # kernel) — '' padding can only "match" '' and those cells are
+    # band-masked anyway
+    width = max(1, max(a.dtype.itemsize // 4 for a in norms))
+    na = np.zeros((B, n_max), dtype=f"<U{width}")
+    tk = np.zeros((B, m_max), dtype="<U1")
+    for f, ((_, t), a) in enumerate(zip(batch, norms)):
+        na[f, :len(a)] = a
+        tk[f, :len(t)] = list(t)
+    # match is evaluated per diagonal on the band slice only (a full
+    # B×n×m match matrix costs ~13× the band's comparisons)
+
+    # move codes SHIFTED by 2 vs the scalar path (0 = never-written =
+    # out-of-band = the scalar's -1 break) so G can be calloc'd:
+    # 1 = break, 2 = up, 3 = left, 4 = diag
+    G = np.zeros((B, n_max, m_max), dtype=np.int8)
+    G2 = G.reshape(B, -1)
+    fm1 = np.zeros((B, n_max + 1), dtype=np.int32)
+    fm2 = np.zeros((B, n_max + 1), dtype=np.int32)
+    cur = np.zeros((B, n_max + 1), dtype=np.int32)
+    last = np.zeros(B, dtype=np.int32)
+
+    for d in range(int(d_last.max()) + 1):
+        # per-file band bounds on this diagonal (same formulas as the
+        # scalar fast path)
+        i_lo_f = np.maximum(np.maximum(0, d - ms + 1),
+                            -((band - 1 - d) // 2))
+        i_hi_f = np.minimum(np.minimum(ns - 1, d), (d + band) // 2)
+        gi_lo = int(i_lo_f.min())
+        gi_hi = int(i_hi_f.max())
+        cur[:] = 0
+        if gi_lo <= gi_hi:
+            gi = np.arange(gi_lo, gi_hi + 1)
+            valid = (i_lo_f[:, None] <= gi) & (gi <= i_hi_f[:, None])
+            up = fm1[:, gi_lo:gi_hi + 1]
+            left = fm1[:, gi_lo + 1:gi_hi + 2].copy()
+            diag = fm2[:, gi_lo:gi_hi + 1].copy()
+            if gi_hi == d:                     # the j == 0 element
+                left[:, -1] = 0
+                diag[:, -1] = 0
+            g = np.full((B, gi_hi - gi_lo + 1), 2, dtype=np.int8)
+            f0 = up.astype(np.int32)
+            if gi_lo == 0:                     # the i == 0 element
+                g[:, 0] = 1
+                f0[:, 0] = 0
+            use_l = left > f0
+            f1 = np.where(use_l, left, f0)
+            g[use_l] = 3
+            # anti-diagonal band slice: na[f, i] vs tk[f, d - i]
+            match = na[:, gi_lo:gi_hi + 1] == \
+                tk[:, d - gi_hi:d - gi_lo + 1][:, ::-1]
+            use_d = match & (diag + 1 > f1)
+            g[use_d] = 4
+            res = np.where(use_d, diag + 1, f1)
+            cur[:, gi_lo + 1:gi_hi + 2] = np.where(valid, res, 0)
+            G2[:, gi * m_max + (d - gi)] = np.where(valid, g, 0)
+        sel = d_last == d                      # capture f[n-1, m-1]
+        if sel.any():
+            last[sel] = cur[sel, ns[sel]]
+        fm2, fm1, cur = fm1, cur, fm2
+
+    results = []
+    for f in range(B):
+        n, m = int(ns[f]), int(ms[f])
+        if not last[f] > 0.8 * n:
+            results.append("fallback")
+            continue
+        orig_to_chartok: list = [None] * n
+        chartok_to_orig: list = [None] * m
+        Gf = G[f]
+        i, j = n - 1, m - 1
+        while i >= 0 and j >= 0:
+            c = Gf[i, j]
+            if c <= 1:                         # untouched / explicit break
+                break
+            if c == 4:
+                orig_to_chartok[i] = j
+                chartok_to_orig[j] = i
+                i, j = i - 1, j - 1
+            elif c == 3:
+                j -= 1
+            else:
+                i -= 1
+        if all(v is None for v in orig_to_chartok):
+            results.append(None)
+        else:
+            results.append((orig_to_chartok, chartok_to_orig))
+    return results
+
+
 def convert_index(index: list, pos: int, m: int | None = None,
                   is_start: bool = True) -> int:
     """``_convert_index`` (``mrc_utils.py:43-76``): nearest aligned
@@ -227,30 +390,19 @@ def convert_index(index: list, pos: int, m: int | None = None,
     return index[front]
 
 
-def token_to_orig_maps(para_tokens: list[str], paragraph_text: str,
-                       match_fn=None):
-    """Token list → per-token original-char span maps
-    ``(tok_start_to_orig_index, tok_end_to_orig_index)``; ``None`` on the
-    LCS mismatch bail-out (caller emits no features —
-    ``mrc_utils.py:140-244``)."""
-    chartok_to_tok: list[int] = []
+def _token_maps_from_alignment(para_tokens: list[str], n: int,
+                               chartok_to_orig: list):
+    """chartok bookkeeping (SPIECE underline → space) + ``convert_index``
+    resolution — the non-LCS half of :func:`token_to_orig_maps`, shared by
+    the single and batched paths."""
     tok_start_to_chartok: list[int] = []
     tok_end_to_chartok: list[int] = []
     char_cnt = 0
-    for i, token in enumerate(para_tokens):
+    for token in para_tokens:
         new_token = token.replace(SPIECE_UNDERLINE, " ")
-        chartok_to_tok.extend([i] * len(new_token))
         tok_start_to_chartok.append(char_cnt)
         char_cnt += len(new_token)
         tok_end_to_chartok.append(char_cnt - 1)
-    tok_cat_text = "".join(para_tokens).replace(SPIECE_UNDERLINE, " ")
-    al = lcs_alignment_fast(paragraph_text, tok_cat_text) \
-        if match_fn is None else \
-        lcs_alignment(paragraph_text, tok_cat_text, match_fn)
-    if al is None:
-        return None
-    _, chartok_to_orig = al
-    n = len(paragraph_text)
     starts, ends = [], []
     for i in range(len(para_tokens)):
         starts.append(convert_index(chartok_to_orig,
@@ -259,3 +411,35 @@ def token_to_orig_maps(para_tokens: list[str], paragraph_text: str,
         ends.append(convert_index(chartok_to_orig, tok_end_to_chartok[i], n,
                                   is_start=False))
     return starts, ends
+
+
+def tok_cat_of(para_tokens: list[str]) -> str:
+    """The LCS right-hand side: concatenated token text, marker → space."""
+    return "".join(para_tokens).replace(SPIECE_UNDERLINE, " ")
+
+
+def token_to_orig_maps(para_tokens: list[str], paragraph_text: str,
+                       match_fn=None):
+    """Token list → per-token original-char span maps
+    ``(tok_start_to_orig_index, tok_end_to_orig_index)``; ``None`` on the
+    LCS mismatch bail-out (caller emits no features —
+    ``mrc_utils.py:140-244``)."""
+    tok_cat_text = tok_cat_of(para_tokens)
+    al = lcs_alignment_fast(paragraph_text, tok_cat_text) \
+        if match_fn is None else \
+        lcs_alignment(paragraph_text, tok_cat_text, match_fn)
+    if al is None:
+        return None
+    return _token_maps_from_alignment(para_tokens, len(paragraph_text),
+                                      al[1])
+
+
+def token_to_orig_maps_batch(items: list):
+    """Batched :func:`token_to_orig_maps` over ``(para_tokens,
+    paragraph_text)`` items — the LCS runs through
+    :func:`lcs_alignment_fast_batch`, everything else is identical."""
+    als = lcs_alignment_fast_batch(
+        [(text, tok_cat_of(toks)) for toks, text in items])
+    return [None if al is None else
+            _token_maps_from_alignment(toks, len(text), al[1])
+            for (toks, text), al in zip(items, als)]

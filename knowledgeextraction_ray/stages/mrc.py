@@ -449,11 +449,8 @@ def _context_token_maps(context: str):
     banded-LCS alignment, or None on either reference failure mode (LCS
     buffer cap, <80% match). (``mrc_utils.py:140-244``)."""
     from ..functions.alignment import token_to_orig_maps
-    toks = sp_tokenize(context)
-    if not toks:
-        return None
-    tok_cat_len = sum(len(t) for t in toks)
-    if len(context) > TOKEN_LCS_CAP or tok_cat_len > TOKEN_LCS_CAP:
+    toks = _cap_tokens(context)
+    if toks is None:
         return None
     maps = token_to_orig_maps(toks, context)
     if maps is None:
@@ -461,6 +458,37 @@ def _context_token_maps(context: str):
     starts, ends = maps
     return (np.asarray(starts, np.int64), np.asarray(ends, np.int64),
             len(toks))
+
+
+def _cap_tokens(context: str):
+    """Tokens, or None on the pre-LCS drop conditions (empty / either LCS
+    buffer side over the cap — ``mrc_utils.py:121,156-161``)."""
+    toks = sp_tokenize(context)
+    if not toks:
+        return None
+    tok_cat_len = sum(len(t) for t in toks)
+    if len(context) > TOKEN_LCS_CAP or tok_cat_len > TOKEN_LCS_CAP:
+        return None
+    return toks
+
+
+def _context_token_maps_batch(contexts: list[str]) -> list:
+    """Batched :func:`_context_token_maps` — one
+    :func:`~..functions.alignment.lcs_alignment_fast_batch` call for all
+    eligible contexts (the LCS DP is the token pipeline's dominant cost;
+    batching amortizes its per-diagonal Python overhead across files)."""
+    from ..functions.alignment import token_to_orig_maps_batch
+    results: list = [None] * len(contexts)
+    toks_of = [_cap_tokens(c) for c in contexts]
+    keep = [i for i, t in enumerate(toks_of) if t is not None]
+    maps = token_to_orig_maps_batch(
+        [(toks_of[i], contexts[i]) for i in keep])
+    for i, m in zip(keep, maps):
+        if m is not None:
+            starts, ends = m
+            results[i] = (np.asarray(starts, np.int64),
+                          np.asarray(ends, np.int64), len(toks_of[i]))
+    return results
 
 
 def _token_doc_spans(n_tokens: int, max_tokens_for_doc: int,
@@ -488,10 +516,13 @@ def _token_feature_rows(example_ids, qtypes, contexts, patterns,
     chars through the alignment (``context[starts[ts] : ends[te]+1]``) —
     the output that a wrong alignment corrupts."""
     cols = {f.name: [] for f in FEATURE_SCHEMA}
-    map_cache: dict[str, object] = {}    # keyed by value: the 4 questions
+    # one BATCHED LCS pass over the distinct contexts (shared across the 4
+    # questions): the DP dominates this featurizer, and the batched kernel
+    # amortizes its per-diagonal Python overhead across files
+    uniq = list(dict.fromkeys(contexts))
+    map_cache: dict[str, object] = dict(
+        zip(uniq, _context_token_maps_batch(uniq)))
     for ex_id, qtype, context in zip(example_ids, qtypes, contexts):
-        if context not in map_cache:     # share one LCS per context
-            map_cache[context] = _context_token_maps(context)
         m = map_cache[context]
         if m is None:
             continue                      # zero features (reference mode)

@@ -400,3 +400,45 @@ def test_merge_matches_reference_get_predictions_v2():
             continue
         assert ref_entities == list(row["entities"])
         assert np.allclose(ref_probs, row["probabilities"], atol=1e-12)
+
+
+def test_lcs_batch_equals_fast():
+    """The batched anti-diagonal kernel is table- and map-identical to the
+    per-file fast path (which is itself pinned to the scalar reference DP),
+    across corpus files, adversarial randoms, degenerate inputs, and every
+    sub-batch budget (the budget only changes padding/grouping)."""
+    import os
+
+    from knowledgeextraction_ray.corpus import generate_file
+    from knowledgeextraction_ray.functions.alignment import (
+        lcs_alignment_fast, lcs_alignment_fast_batch)
+
+    pairs = []
+    for j in range(30):
+        t = generate_file(j)["content"]
+        pairs.append((t, " " + " ".join(t.split())))
+    rs = np.random.RandomState(3)
+    for _ in range(60):
+        n = rs.randint(1, 120)
+        orig = "".join(rs.choice(list("abcdé \n\tXY"), n))
+        r = rs.rand()
+        if r < 0.3:                      # mismatch → band doubling round
+            tok = "".join(rs.choice(list("qrstuv"), max(1, n // 2)))
+        elif r < 0.4:
+            tok = orig[0]
+        else:
+            tok = " " + " ".join(orig.split()) if orig.split() else "x"
+        pairs.append((orig, tok))
+    pairs += [("", "x"), ("x", ""), ("a", "a"), ("ab", "ab")]
+
+    ref = [lcs_alignment_fast(o, t) for o, t in pairs]
+    for cells in ("65536", "8388608"):   # tiny and default-ish budgets
+        os.environ["KGRAY_LCS_BATCH_CELLS"] = cells
+        try:
+            got = lcs_alignment_fast_batch(pairs)
+        finally:
+            del os.environ["KGRAY_LCS_BATCH_CELLS"]
+        for (o, t), a, b in zip(pairs, ref, got):
+            assert (a is None) == (b is None), (cells, repr(o))
+            if a is not None:
+                assert a[0] == b[0] and a[1] == b[1], (cells, repr(o))
