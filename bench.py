@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "ner_eval_prf",
     "mrc_nbest",
+    # the heaviest single operator (token-level MRC through the batched
+    # banded-LCS alignment) — tracked per-round since landing in r3
+    "mrc_token_answers",
 ]
 
 
