@@ -670,6 +670,19 @@ select p_type, count(*) as n_parts,
 from part group by 1
 """
 
+SQL_REVENUE_BY_REGION = """
+select coalesce(r.r_name, 'UNKNOWN') as r_name,
+       count(*) as n_items,
+       cast(sum(cast(round(l.l_extendedprice * 100, 0) as bigint)
+                * (100 - cast(round(l.l_discount * 100, 0) as bigint)))
+            as bigint) as sum_revenue_e4
+from lineitem l
+left join supplier s on l.l_suppkey = s.s_suppkey
+left join nation n on s.s_nationkey = n.n_nationkey
+left join region r on n.n_regionkey = r.r_regionkey
+group by 1
+"""
+
 SQL_VOCAB_FROM_CORPUS = f"""
 select regexp_replace(word, '\\d', '0', 'g') as word, count(*) as n
 from (select unnest(regexp_extract_all(text, '{TOKEN_RE}')) as word
@@ -818,6 +831,7 @@ TABLE_ORACLES = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "top_orders": SQL_TOP_ORDERS,
     "part_type_stats": SQL_PART_TYPE_STATS,
+    "revenue_by_region": SQL_REVENUE_BY_REGION,
     "vocab_from_corpus": SQL_VOCAB_FROM_CORPUS,
     "doc_normalize": SQL_DOC_NORMALIZE,
     "doc_lang_distribution":

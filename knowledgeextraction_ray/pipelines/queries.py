@@ -301,6 +301,14 @@ def q_part_type_stats(sf_dir: str):
     return part_type_stats(sf_dir)
 
 
+def q_revenue_by_region(sf_dir: str):
+    """lineitem ⋈ supplier ⋈ nation ⋈ region (broadcast dimension chain,
+    fact table streams) → revenue per supplier region. Completes table
+    coverage: every provided testdata table now feeds a gated query."""
+    from ..stages.relational import revenue_by_region
+    return revenue_by_region(sf_dir)
+
+
 def q_vocab_from_corpus(sf_dir: str):
     """Count-based vocabulary builder (reference S10/G3,
     ``utils/chinese_CONLL.py:44-86``): token → count over the documents
@@ -499,6 +507,7 @@ TABLE_QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "top_orders": q_top_orders,
     "part_type_stats": q_part_type_stats,
+    "revenue_by_region": q_revenue_by_region,
     "vocab_from_corpus": q_vocab_from_corpus,
     "doc_normalize": q_doc_normalize,
     "doc_fingerprint": q_doc_fingerprint,

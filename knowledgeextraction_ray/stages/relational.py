@@ -138,6 +138,64 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def _join_supplier_region(batch: pa.Table, *, supp_ref) -> pa.Table:
+    """Broadcast three-dim chain: lineitem ⋈ supplier ⋈ nation ⋈ region —
+    the dimension tables collapse to one suppkey → region-name dict on the
+    driver (they are dimension-sized by construction) and broadcast via
+    ``ray.put``; the fact table streams. Revenue is exact-integer:
+    ``price_e2 · (100 − disc_e2)`` = e4 units."""
+    import pyarrow.compute as pc
+
+    from ..runtime import worker_state
+    key = supp_ref.hex() if hasattr(supp_ref, "hex") else id(supp_ref)
+    supp_to_region = worker_state(
+        ("supp_region", key),
+        lambda: ray.get(supp_ref) if not isinstance(supp_ref, dict)
+        else supp_ref)
+    regions = [supp_to_region.get(s, "UNKNOWN")
+               for s in batch["l_suppkey"].to_pylist()]
+    price_e2 = scaled_int64(batch["l_extendedprice"], 100.0)
+    disc_e2 = scaled_int64(batch["l_discount"], 100.0)
+    revenue_e4 = pc.multiply(
+        price_e2, pc.subtract(pa.scalar(100, pa.int64()), disc_e2))
+    return pa.Table.from_pydict({
+        "r_name": pa.array(regions, pa.string()),
+        "revenue_e4": revenue_e4,
+    })
+
+
+def revenue_by_region(sf_dir: str):
+    """→ (r_name, n_items, sum_revenue_e4): lineitem revenue rolled up to
+    supplier REGION through the supplier → nation → region dimension chain
+    (the TPC-H Q5 join shape, minus the date/customer legs)."""
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    nmap = {n: rmap.get(rk, "UNKNOWN")
+            for n, rk in zip(nation["n_nationkey"].to_pylist(),
+                             nation["n_regionkey"].to_pylist())}
+    smap = {s: nmap.get(nk, "UNKNOWN")
+            for s, nk in zip(supplier["s_suppkey"].to_pylist(),
+                             supplier["s_nationkey"].to_pylist())}
+    ref = ray.put(smap)
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    from .groupagg import partial_combine_agg
+    return partial_combine_agg(
+        lineitem.map_batches(_join_supplier_region,
+                             fn_kwargs={"supp_ref": ref},
+                             batch_format="pyarrow"),
+        ["r_name"],
+        {"n_items": ("revenue_e4", "count"),
+         "sum_revenue_e4": ("revenue_e4", "sum")})
+
+
 def part_type_stats(sf_dir: str):
     """→ per p_type: n_parts, min/max retail price in cents (Min/Max/Count
     aggregate family, exact values)."""
