@@ -132,6 +132,26 @@ def run_bench() -> dict:
     return out
 
 
+def _code_fingerprint() -> str:
+    """sha256 over the package's .py sources (sorted paths + bytes) — the
+    same-code stamp for SCALING.json merges. Source hash, not git HEAD:
+    uncommitted edits to the measured pipeline must also invalidate the
+    history."""
+    import hashlib
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "knowledgeextraction_ray")
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def run_scaling() -> dict:
     """Same headline job at 8 and 32 CPUs in fresh processes.
 
@@ -154,8 +174,12 @@ def run_scaling() -> dict:
     ``sec_N`` is the min over ALL runs — the least-contaminated sample of
     the machine, the standard noisy-bench estimator. Every raw run stays
     disclosed in ``sec_N_runs``; ``attempts`` counts ladder invocations.
-    Set ``KGRAY_SCALING_MERGE=0`` to start a fresh history (required after
-    a change to the measured pipeline — merged runs must be same-code)."""
+
+    Same-code enforcement (r4, per ADVICE): every history carries a
+    ``code_fingerprint`` = sha256 over the package's .py sources; a prior
+    history whose fingerprint differs from the current tree is DISCARDED
+    automatically, so merged mins can never blend runs of different
+    binaries. ``KGRAY_SCALING_MERGE=0`` still forces a fresh history."""
     # ladder corpus: sf0.8 keeps per-level work above the ~9 s fixed
     # session/pool constant while staying below this box's object-store
     # pressure point — an sf2.0 ladder measured STORAGE contention, not CPU
@@ -191,6 +215,7 @@ def run_scaling() -> dict:
 
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "SCALING.json")
+    fingerprint = _code_fingerprint()
     prior_runs: dict[int, list[float]] = {}
     attempts = 0
     if os.environ.get("KGRAY_SCALING_MERGE", "1") == "1" and \
@@ -199,6 +224,7 @@ def run_scaling() -> dict:
             with open(scaling_path) as f:
                 prev = json.load(f)
             if prev.get("sf") == scaling_dir and \
+                    prev.get("code_fingerprint") == fingerprint and \
                     all(f"sec_{n}" in prev for n in levels):
                 for n in levels:
                     prior_runs[n] = [float(x) for x in
@@ -210,7 +236,8 @@ def run_scaling() -> dict:
 
     results = {n: run(n) for n in levels}
     out: dict = {"metric": "scaling", "sf": scaling_dir,
-                 "repeats_per_level": repeats, "attempts": attempts + 1}
+                 "repeats_per_level": repeats, "attempts": attempts + 1,
+                 "code_fingerprint": fingerprint}
     best: dict[int, float] = {}
     for n, r in results.items():
         all_runs = prior_runs.get(n, []) + r["_spread"]

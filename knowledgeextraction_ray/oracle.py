@@ -321,7 +321,10 @@ def _segments_ctes(sf_dir: str, max_payload: int = 382,
     pipeline's guid convention) and ``seg_index`` after it (the segmenter's).
     ASSUMES no single line exceeds ``max_payload`` (true of the grammar
     corpus by construction; the Python side hard-splits such lines and the
-    recurrence here would diverge — kept out of SQL deliberately)."""
+    recurrence here would diverge — kept out of SQL deliberately). The
+    assumption FAILS LOUDLY (r4, per ADVICE): ``lpos`` raises a DuckDB
+    ``error()`` naming the offending file instead of letting the gate
+    surface it as an opaque value-hash mismatch."""
     corpus = corpus_glob(sf_dir)
     return f"""
 files as (
@@ -338,7 +341,13 @@ lpre as (
          case when ln < n_lines then part || chr(10) else part end as line
   from rawlines where not (ln = n_lines and part = '')),
 lpos as (
-  select fid, ln, line, length(line) as llen,
+  select fid, ln, line,
+         case when length(line) > {max_payload}
+              then error('oracle assumption violated: line longer than '
+                         || 'max_payload — the Python segmenter hard-'
+                         || 'splits such lines; this gate cannot restate '
+                         || 'that input (fid=' || fid || ')')
+              else length(line) end as llen,
          sum(length(line)) over (partition by fid order by ln
              rows between unbounded preceding and current row)
            - length(line) as pos

@@ -143,13 +143,16 @@ qualify rank <= {k}
 SQL_KNN_LSH = _knn_lsh_sql()
 
 
-def _embedding_neardup_sql(threshold: float = 0.9, bits: int = 12,
+def _embedding_neardup_sql(threshold: float = 0.35, bits: int = 8,
                            dim: int = 64, seed: int = 5) -> str:
     """embedding_neardup oracle: same literal-plane bucket assignment as
     ``stages/dedup.HyperplaneBucketer``, in-bucket self-join, cosine
-    threshold. On the provided embeddings the correct result is EMPTY at
-    threshold 0.9 (max pairwise cosine ≈ 0.51) — the gate pins that no
-    false pairs are emitted; planted pytest covers the positive case."""
+    threshold, 6dp half-away rounding on both sides. Parameterized at
+    0.35/8 bits (r4) so the hash gate covers NON-EMPTY output on the
+    provided vectors (5 pairs at sf0.01, 97 at sf0.1); margins to the
+    threshold (≥9e-5) and to 6dp rounding boundaries (≥1e-11) are far
+    above cross-engine float noise — pinned by
+    ``tests/test_table_queries.py::test_lsh_oracle_margins``."""
     bucket = _hyperplane_bucket_expr(bits, dim, seed)
     return f"""
 with e as (
@@ -157,7 +160,7 @@ with e as (
   from embeddings),
 b as (select vec_id, v, {bucket} as bucket from e)
 select a.vec_id as vec_id_a, b2.vec_id as vec_id_b,
-       list_cosine_similarity(a.v, b2.v) as cosine
+       round(list_cosine_similarity(a.v, b2.v), 6) as cosine
 from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
 where list_cosine_similarity(a.v, b2.v) >= {threshold}
 """

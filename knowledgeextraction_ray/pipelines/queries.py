@@ -476,20 +476,29 @@ def q_knn_ivf(sf_dir: str):
 
 def q_embedding_neardup(sf_dir: str):
     """LSH-bucketed embedding near-dup pairs, SQL-gated (literal-plane
-    bucket oracle). The correct result is EMPTY on the provided vectors at
-    threshold 0.9, and an all-empty ``map_groups`` output drops its schema
-    in ``to_pandas`` — so the typed empty frame is restored explicitly."""
+    bucket oracle). Gated at threshold 0.35 / bits=8 so the hash covers
+    NON-EMPTY output on the provided vectors (r3 verdict: the 0.9 gate
+    matched on 0 == 0 rows — correct but vacuous; 0.35/8 emits 5 pairs at
+    sf0.01 and 97 at sf0.1, with ≥9e-5 threshold margin and ≥1e-11
+    6dp-boundary margin, far above cross-engine float noise). Cosine is
+    6dp half-away rounded on BOTH sides. An all-empty ``map_groups``
+    output drops its schema in ``to_pandas``, so the typed empty frame is
+    restored explicitly (still possible at other scales)."""
     import pandas as pd
     import ray.data as rd
 
+    from ..functions.rounding import scaled_int64_np
     from ..stages.dedup import embedding_neardup_pairs
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    pdf = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    pdf = embedding_neardup_pairs(ds, threshold=0.35, bits=8).to_pandas()
     if pdf.empty:
         pdf = pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
                             "vec_id_b": pd.Series(dtype="int64"),
                             "cosine": pd.Series(dtype="float64")})
+    else:
+        pdf["cosine"] = scaled_int64_np(
+            pdf["cosine"].to_numpy(), 1e6) / 1e6
     return pdf
 
 

@@ -136,13 +136,18 @@ def _finalize_bucket(g):
 
 def _with_bucket(ds, cols, num_buckets: int = 32):
     import numpy as np
+    import pyarrow.compute as pc
 
     from ..functions.hashing import stable_hash64
 
     def add(batch: pa.Table) -> pa.Table:
-        keys = ["|".join(str(batch[c][i].as_py()) for c in cols)
-                for i in range(len(batch))]
-        b = (stable_hash64(keys) % num_buckets).astype(np.int32)
+        # columnar key build (cast + element-wise join) — this runs in the
+        # DISTRIBUTED combine path, so no per-row Python here; str(int) ≡
+        # Arrow's int→string cast for the int64 salt column
+        parts = [pc.cast(batch[c], pa.string()) for c in cols]
+        keys = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "|")
+        b = (stable_hash64(keys.to_pylist()) % num_buckets).astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
     return ds.map_batches(add, batch_format="pyarrow")
 

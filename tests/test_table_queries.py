@@ -493,6 +493,19 @@ def test_lsh_oracle_margins(sf_dir):
     d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     d.sort(axis=1)
     assert (d[:, 1] - d[:, 0]).min() > 1e-6    # IVF cell-assignment gap
+    # embedding_neardup's non-vacuous gate (r4: threshold 0.35, bits=8):
+    # same-bucket cosines keep a safe margin to the threshold AND the
+    # emitted cosines to their 6dp rounding boundary
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    bucket = (((vecs @ lsh_planes(vecs.shape[1], 8, 5)) > 0)
+              << np.arange(8)).sum(axis=1)
+    iu = np.triu_indices(len(vecs), 1)
+    sims = (unit @ unit.T)[iu]
+    same = (bucket[:, None] == bucket[None, :])[iu]
+    assert np.abs(sims[same] - 0.35).min() > 1e-5
+    emitted = sims[same & (sims >= 0.35)]
+    assert len(emitted) > 0                    # the gate is non-vacuous
+    assert np.abs((emitted * 1e6) % 1 - 0.5).min() > 1e-7
 
 
 def test_embedding_neardup_megabucket_star():
