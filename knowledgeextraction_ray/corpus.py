@@ -122,6 +122,39 @@ def generate_files(indices, seed: int = SEED) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
 
 
+# Unicode decoration for the real-tokenizer MRC variant: substitutions that
+# make the char↔token LCS alignment genuinely non-trivial (no closed form).
+# Only _COMMENT_WORDS are touched — they never collide with identifier pools
+# or the mention-line templates, so gold MENTIONS stay intact while their
+# char OFFSETS shift. Three distortion classes, mirroring what a real
+# normalizing tokenizer (ALBERT preprocess_text: NFKD + strip combining +
+# ``\x60\x60``/``''`` → ``"``) does to real text:
+#  - length-preserving accents (ö → NFKD-stripped "o": chars still MATCH),
+#  - length-INCREASING ligatures (ﬁ → "fi": the orig char matches nothing,
+#    the token stream gains a char — a band offset the DP must absorb),
+#  - length-DECREASING quote pairs (`` → ": two orig chars vs one token
+#    char).
+UNICODE_DECOR = {
+    "note": "nöte",            # ö
+    "todo": "tòdo",            # ò
+    "fixme": "ﬁxme",           # ﬁ ligature (+1 token char)
+    "shuffle": "shuﬀle",       # ﬀ ligature (+1 token char)
+    "table": "tablé",          # é
+    "merge": "mérge",          # é
+    "query": "qüery",          # ü
+    "sort": "``sort''",             # quote pairs (−2 token chars)
+    "batch": "bätch",          # ä
+}
+
+
+def decorate_unicode(content: str) -> str:
+    """Apply :data:`UNICODE_DECOR` — deterministic pure function, shared by
+    the ``mrc_token_answers_sp_unicode`` query and its differential tests."""
+    for k, v in UNICODE_DECOR.items():
+        content = content.replace(k, v)
+    return content
+
+
 # ---------------------------------------------------------------------------
 # Alias dictionary (FIXTURES.md F7) — broadcast side of the linking stage.
 # ---------------------------------------------------------------------------

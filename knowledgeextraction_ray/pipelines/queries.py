@@ -773,6 +773,52 @@ def q_mrc_token_answers(sf_dir: str):
     return token_answers_shape(token_mrc_pipeline(corpus))
 
 
+def q_mrc_token_answers_sp(sf_dir: str):
+    """TOKEN-level MRC through the REAL SentencePiece-style unigram
+    tokenizer (``functions/sptokenizer.py``: committed vocab fixture,
+    Viterbi segmentation, ALBERT ``preprocess_text`` lower+NFKD, XLNet
+    ``encode_pieces`` glue) — the reference's actual tokenize path
+    (``mrc_utils.py:124-131``) instead of the whitespace stand-in. Subword
+    pieces + lowercasing make the banded-LCS char↔token alignment resolve
+    real mismatches (every original uppercase char is unaligned and
+    interpolates through ``convert_index``). Same window/beam/merge
+    machinery and reduced output shape as ``mrc_token_answers``."""
+    import ray.data as rd
+
+    from ..corpus import corpus_parquet_dir, ensure_corpus
+    from ..stages.mrc import token_mrc_pipeline
+    ensure_corpus(sf_dir)
+    corpus = rd.read_parquet(corpus_parquet_dir(sf_dir), columns=["content"])
+    return token_answers_shape(token_mrc_pipeline(corpus, tokenizer="sp"))
+
+
+def q_mrc_token_answers_sp_unicode(sf_dir: str):
+    """The SP-tokenizer MRC over the UNICODE-DECORATED corpus
+    (``corpus.decorate_unicode``: accents, ligatures, quote pairs) — inputs
+    where the tokenizer's NFKD/quote normalization CHANGES text length, so
+    the LCS alignment has no closed form and the DP is load-bearing.
+    Rows-only at the driver (the alignment result is genuinely not
+    SQL-expressible here); correctness is pinned by differential tests
+    executing the reference's own ``_lcs_match``/``_convert_index`` on the
+    same decorated inputs (``tests/test_sp_tokenizer.py``)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..corpus import corpus_parquet_dir, decorate_unicode, ensure_corpus
+    from ..stages.mrc import token_mrc_pipeline
+    ensure_corpus(sf_dir)
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        return pa.table({"content": pa.array(
+            [decorate_unicode(c) for c in batch["content"].to_pylist()],
+            pa.string())})
+
+    corpus = (rd.read_parquet(corpus_parquet_dir(sf_dir),
+                              columns=["content"])
+              .map_batches(decorate, batch_format="pyarrow"))
+    return token_answers_shape(token_mrc_pipeline(corpus, tokenizer="sp"))
+
+
 def token_answers_shape(nbest):
     """n-best rows → the gate's reduced shape (example_id, n_entities,
     half-away-6dp top prob, na_prob, final_answer) — shared by the driver
@@ -803,6 +849,9 @@ KG_QUERIES["mrc_token_answers"] = q_mrc_token_answers
 
 ROWS_ONLY_QUERIES = {
     "ner_eval_prf": q_ner_eval_prf,
+    # registered rows-only until the Viterbi-in-SQL oracle lands (r4)
+    "mrc_token_answers_sp": q_mrc_token_answers_sp,
+    "mrc_token_answers_sp_unicode": q_mrc_token_answers_sp_unicode,
 }
 
 

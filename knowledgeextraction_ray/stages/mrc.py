@@ -444,12 +444,31 @@ def sp_tokenize(text: str) -> list[str]:
     return [SPIECE_UNDERLINE + w for w in text.split()]
 
 
-def _context_token_maps(context: str):
+def tokenizer_fn(tokenizer: str):
+    """Resolve a tokenizer NAME (cheaply serializable into fused-stage
+    kwargs) to a callable: ``standin`` = the whitespace SP stand-in above;
+    ``sp`` = the real SentencePiece-style unigram model over the committed
+    vocab fixture (``functions/sptokenizer.py`` — lazy singleton, one vocab
+    load per worker). The ``sp`` callable tokenizes the RAW context; its
+    internal ``preprocess_text(lower=True)`` + whitespace normalization is
+    the same composition as the reference's ``tokenizer.tokenize(
+    preprocess_text(text, remove_space=True, lower=False))``
+    (``mrc_utils.py:130-131``) with an uncased model, since NFKD and
+    whitespace collapse are idempotent."""
+    if tokenizer == "standin":
+        return sp_tokenize
+    if tokenizer == "sp":
+        from ..functions.sptokenizer import sp_tokenize_real
+        return sp_tokenize_real
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def _context_token_maps(context: str, tokenize=None):
     """context → (starts, ends) per-token ORIGINAL char spans via the
     banded-LCS alignment, or None on either reference failure mode (LCS
     buffer cap, <80% match). (``mrc_utils.py:140-244``)."""
     from ..functions.alignment import token_to_orig_maps
-    toks = _cap_tokens(context)
+    toks = _cap_tokens(context, tokenize)
     if toks is None:
         return None
     maps = token_to_orig_maps(toks, context)
@@ -460,10 +479,10 @@ def _context_token_maps(context: str):
             len(toks))
 
 
-def _cap_tokens(context: str):
+def _cap_tokens(context: str, tokenize=None):
     """Tokens, or None on the pre-LCS drop conditions (empty / either LCS
     buffer side over the cap — ``mrc_utils.py:121,156-161``)."""
-    toks = sp_tokenize(context)
+    toks = (tokenize or sp_tokenize)(context)
     if not toks:
         return None
     tok_cat_len = sum(len(t) for t in toks)
@@ -472,14 +491,14 @@ def _cap_tokens(context: str):
     return toks
 
 
-def _context_token_maps_batch(contexts: list[str]) -> list:
+def _context_token_maps_batch(contexts: list[str], tokenize=None) -> list:
     """Batched :func:`_context_token_maps` — one
     :func:`~..functions.alignment.lcs_alignment_fast_batch` call for all
     eligible contexts (the LCS DP is the token pipeline's dominant cost;
     batching amortizes its per-diagonal Python overhead across files)."""
     from ..functions.alignment import token_to_orig_maps_batch
     results: list = [None] * len(contexts)
-    toks_of = [_cap_tokens(c) for c in contexts]
+    toks_of = [_cap_tokens(c, tokenize) for c in contexts]
     keep = [i for i, t in enumerate(toks_of) if t is not None]
     maps = token_to_orig_maps_batch(
         [(toks_of[i], contexts[i]) for i in keep])
@@ -507,7 +526,8 @@ def _token_doc_spans(n_tokens: int, max_tokens_for_doc: int,
 
 def _token_feature_rows(example_ids, qtypes, contexts, patterns,
                         n_top: int, max_seq_length: int, doc_stride: int,
-                        max_query_length: int) -> pd.DataFrame:
+                        max_query_length: int,
+                        tokenize=None) -> pd.DataFrame:
     """Token-space feature rows: grammar matches stand in for the model's
     span candidates, mapped char→token through the LCS maps; window
     containment, per-window beam rank and max-context ownership all run in
@@ -521,13 +541,14 @@ def _token_feature_rows(example_ids, qtypes, contexts, patterns,
     # amortizes its per-diagonal Python overhead across files
     uniq = list(dict.fromkeys(contexts))
     map_cache: dict[str, object] = dict(
-        zip(uniq, _context_token_maps_batch(uniq)))
+        zip(uniq, _context_token_maps_batch(uniq, tokenize)))
     for ex_id, qtype, context in zip(example_ids, qtypes, contexts):
         m = map_cache[context]
         if m is None:
             continue                      # zero features (reference mode)
         starts, ends, n_toks = m
-        q_toks = sp_tokenize(QUESTIONS[qtype])[:max_query_length]
+        q_toks = (tokenize or sp_tokenize)(
+            QUESTIONS[qtype])[:max_query_length]
         max_tokens_for_doc = max_seq_length - len(q_toks) - 3
         spans = _token_doc_spans(n_toks, max_tokens_for_doc, doc_stride)
 
@@ -593,13 +614,15 @@ class MrcTokenScorer:
     def __init__(self, start_n_top: int = 5,
                  max_seq_length: int = TOKEN_MAX_SEQ_LENGTH,
                  doc_stride: int = TOKEN_DOC_STRIDE,
-                 max_query_length: int = TOKEN_MAX_QUERY_LENGTH):
+                 max_query_length: int = TOKEN_MAX_QUERY_LENGTH,
+                 tokenizer: str = "standin"):
         self.patterns = {t: re.compile(p)
                          for t, p in MENTION_PATTERNS.items()}
         self.n_top = start_n_top
         self.max_seq_length = max_seq_length
         self.doc_stride = doc_stride
         self.max_query_length = max_query_length
+        self.tokenize = tokenizer_fn(tokenizer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qtypes = [QTYPE_OF[q] for q in batch["question"].to_pylist()]
@@ -607,20 +630,22 @@ class MrcTokenScorer:
                                  batch["context"].to_pylist(),
                                  self.patterns, self.n_top,
                                  self.max_seq_length, self.doc_stride,
-                                 self.max_query_length)
+                                 self.max_query_length,
+                                 tokenize=self.tokenize)
         return from_pandas_clean(df, schema=FEATURE_SCHEMA,
                                  preserve_index=False)
 
 
 def _token_fused_batch(batch: pa.Table, *, n_top: int, max_seq_length: int,
                        doc_stride: int, max_query_length: int,
-                       n_best: int,
-                       null_threshold: float | None) -> pa.Table:
+                       n_best: int, null_threshold: float | None,
+                       tokenizer: str = "standin") -> pa.Table:
     from ..functions.hashing import sha256_hex
     from ..runtime import worker_state
     patterns = worker_state(("mrc_token_pats",),
                             lambda: {t: re.compile(p)
                                      for t, p in MENTION_PATTERNS.items()})
+    tokenize = tokenizer_fn(tokenizer)
     ex_ids, qts, ctxs = [], [], []
     for content in batch["content"].to_pylist():
         sha = sha256_hex(content)
@@ -629,7 +654,8 @@ def _token_fused_batch(batch: pa.Table, *, n_top: int, max_seq_length: int,
             qts.append(qtype)
             ctxs.append(content)
     df = _token_feature_rows(ex_ids, qts, ctxs, patterns, n_top,
-                             max_seq_length, doc_stride, max_query_length)
+                             max_seq_length, doc_stride, max_query_length,
+                             tokenize=tokenize)
     merged = _merge_bucket(df, n_best, null_threshold) if len(df) else \
         pd.DataFrame({f.name: pd.Series([], dtype=object)
                       for f in NBEST_SCHEMA})
@@ -643,7 +669,7 @@ def token_mrc_pipeline(corpus_ds, n_top: int = 5,
                        max_query_length: int = TOKEN_MAX_QUERY_LENGTH,
                        n_best: int = 20,
                        null_threshold: float | None = 0.0,
-                       mode: str = "fused"):
+                       mode: str = "fused", tokenizer: str = "standin"):
     """corpus → per-(file × question) n-best rows through the TOKEN-level
     featurizer: real-tokenizer windowing (doc_stride / max_query_length per
     the reference's ``config/mrc_processor.json``), banded-LCS char↔token
@@ -657,7 +683,8 @@ def token_mrc_pipeline(corpus_ds, n_top: int = 5,
         return corpus_ds.map_batches(
             _token_fused_batch,
             fn_kwargs={**kw, "n_best": n_best,
-                       "null_threshold": null_threshold},
+                       "null_threshold": null_threshold,
+                       "tokenizer": tokenizer},
             batch_format="pyarrow")
     examples = corpus_ds.map_batches(build_examples, batch_format="pyarrow")
     scored = examples.map_batches(
@@ -665,7 +692,8 @@ def token_mrc_pipeline(corpus_ds, n_top: int = 5,
         fn_constructor_kwargs={"start_n_top": n_top,
                                "max_seq_length": max_seq_length,
                                "doc_stride": doc_stride,
-                               "max_query_length": max_query_length},
+                               "max_query_length": max_query_length,
+                               "tokenizer": tokenizer},
         batch_format="pyarrow", concurrency=(1, pool_size(1.0)))
     return nbest_merge(scored, n_best, null_threshold=null_threshold)
 
