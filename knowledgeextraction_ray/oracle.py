@@ -695,7 +695,7 @@ def sql_mrc_token_answers(sf_dir: str, corpus: str | None = None) -> str:
          regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 0) as fulls,
          regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 1) as grps
   from elig""" for lab in MENTION_PATTERNS)
-    return f"""
+    header = f"""
 with files as materialized (
   select distinct sha256(content) as sha, content, length(content) as L
   from read_parquet('{corpus}')),
@@ -729,7 +729,18 @@ tok as materialized (
               then wstart - length(gap) + strpos(gap, ' ') - 1
               else wstart - length(gap) end as tstart,
          wstart + length(w) - 1 as tend
-  from tokpos),
+  from tokpos)"""
+    return header + "," + _token_mrc_tail(qs, branches, T, n_top, n_best)
+
+
+def _token_mrc_tail(qs: str, branches: str, T: int, n_top: int,
+                    n_best: int) -> str:
+    """Window/beam/ownership/merge tail SHARED by the stand-in and the
+    SP-tokenizer token-MRC oracles (they differ only in how the token table
+    is built). Contract: the caller's header must define
+    ``elig(sha, content, n_toks)`` — n_toks = TOKEN count — and
+    ``tok(sha, ti, tstart, tend)`` — per-token original-char span maps."""
+    return f"""
 qm as (select * from (values {qs}) q(qtype, S)),
 nw as materialized (
   select e.sha, q.qtype, q.S, e.n_toks,
@@ -847,6 +858,208 @@ left join agg a on a.sha = c.sha and a.qtype = c.qtype
 """
 
 
+def _sp_vocab_literals() -> tuple[str, str, int, float]:
+    """The committed SP vocab fixture as SQL map literals — the seeded
+    constants of the SP tokenizer embedded directly (CLAUDE.md technique:
+    seeded-randomness operators gate by embedding their constants)."""
+    from .functions.sptokenizer import SpUnigramModel
+    m = SpUnigramModel.from_vocab_file()
+    pieces = sorted(m.scores)
+    keys = ", ".join("'" + p.replace("'", "''") + "'" for p in pieces)
+    vals = ", ".join(repr(m.scores[p]) for p in pieces)
+    return keys, vals, m.max_len, m.unk_score
+
+
+def sql_mrc_token_answers_sp(sf_dir: str, corpus: str | None = None) -> str:
+    """SP-tokenizer token-MRC oracle (``q_mrc_token_answers_sp``).
+
+    Two genuinely new restatements over ``sql_mrc_token_answers``:
+
+    1. **Unigram Viterbi in SQL** — the real SentencePiece segmentation
+       (``functions/sptokenizer.SpUnigramModel.encode_as_pieces``) as a
+       recursive CTE over the distinct lowered words: the fold state per
+       word is the last-``max_len`` best-score window plus the back-pointer
+       list, the per-step argmax is a pure ``list_transform`` /
+       ``list_reduce`` over candidate piece lengths against the vocab MAP
+       literal (tie-break: strict improvement keeps the shorter piece —
+       identical to the Python loop), and the backtrace is a
+       ``list_reduce`` fold producing the piece boundaries. Bit-exact: the
+       same doubles (``repr`` round-trip), same comparison order.
+    2. **Closed-form alignment WITH case mismatches** — the tokenizer
+       lowercases, so every original uppercase char is unaligned in the
+       banded LCS and resolves through ``convert_index``
+       (``mrc_utils.py:43-76``). For this corpus (uppercase only at word
+       offset 0 — GUARDED with a loud ``error()``), the interpolation has
+       a closed form, validated against the pipeline's DP over all 11k
+       sf0.001+sf0.01 files and pinned by
+       ``tests/test_sp_tokenizer.py``. The 0.8·n mismatch bar loses the
+       uppercase chars from the matched count.
+
+    The digit-comma ``encode_pieces`` hack is DORMANT on this corpus
+    (``,`` never follows a digit inside a word) — guarded loudly, covered
+    by unit tests. Window/beam/merge tail shared with the stand-in oracle
+    (``_token_mrc_tail``)."""
+    from .functions.sptokenizer import sp_tokenize_real
+    from .stages.mrc import (QUESTIONS, TOKEN_DOC_STRIDE, TOKEN_LCS_CAP,
+                             TOKEN_MAX_QUERY_LENGTH, TOKEN_MAX_SEQ_LENGTH)
+    corpus = corpus or corpus_glob(sf_dir)
+    T = TOKEN_DOC_STRIDE
+    n_top, n_best, cap = 5, 20, TOKEN_LCS_CAP
+    keys, vals, ML, unk = _sp_vocab_literals()
+    qs = ", ".join(
+        f"('{t}', {TOKEN_MAX_SEQ_LENGTH - len(sp_tokenize_real(q)[:TOKEN_MAX_QUERY_LENGTH]) - 3})"
+        for t, q in QUESTIONS.items())
+    branches = "\nunion all\n".join(f"""
+  select sha, '{lab}' as qtype,
+         {_group_prefix_len(MENTION_PATTERNS[lab])} as plen,
+         string_split_regex(content, '{MENTION_PATTERNS[lab]}') as parts,
+         regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 0) as fulls,
+         regexp_extract_all(content, '{MENTION_PATTERNS[lab]}', 1) as grps
+  from elig""" for lab in MENTION_PATTERNS)
+    header = f"""
+with recursive
+files as materialized (
+  select distinct sha256(content) as sha, content, length(content) as L
+  from read_parquet('{corpus}')),
+tk as (
+  select sha, content, L,
+         regexp_extract_all(content, '\\S+') as ws,
+         string_split_regex(content, '\\S+') as gaps,
+         length(regexp_replace(content, '\\s', '', 'g')) as nonws,
+         length(regexp_replace(content, '[^A-Z]', '', 'g')) as nupper
+  from files),
+eligw as materialized (
+  select sha, content, L, ws, gaps, len(ws) as n_words
+  from tk
+  where len(ws) > 0 and L <= {cap} and nonws + len(ws) <= {cap}
+    and cast(nonws - nupper + len(list_filter(gaps[1:len(ws)],
+                                              g -> contains(g, ' ')))
+             as double) > 0.8 * L),
+wordrows as (
+  select sha, unnest(range(1, n_words + 1)) as wi,
+         unnest(ws) as w, unnest(gaps[1:n_words]) as gap
+  from eligw),
+wordpos as materialized (
+  select sha, wi, gap,
+         case when regexp_matches(w[2:], '[A-Z]')
+                or (length(w) = 1 and regexp_matches(w, '^[A-Z]$'))
+              then error('sp oracle assumption violated: uppercase past '
+                         || 'word offset 0 or single-char uppercase word '
+                         || '(word=' || w || ') — the closed-form '
+                         || 'alignment does not cover this input')
+              else lower(w) end as lw,
+         regexp_matches(w, '^[A-Z]') as cap,
+         cast(sum(length(gap) + length(w)) over (
+             partition by sha order by wi
+             rows between unbounded preceding and current row)
+           - length(w) as bigint) as wstart
+  from wordrows),
+vm as (select map([{keys}], [{vals}]::double[]) as m),
+wseg as (select distinct lw as w from wordpos),
+wch as (select w, '▁' || w as s, length(w) + 1 as n from wseg),
+vit as (
+  select w, s, n, 0 as i,
+         [0.0]::double[] as win, []::int[] as back
+  from wch
+  union all
+  select w, s, n, i + 1,
+         list_slice(win || [mx], greatest(1, len(win) + 2 - {ML}),
+                    len(win) + 1),
+         back || [bl]
+  from (
+    select w, s, n, i, win, back,
+           list_aggregate(list_transform(cl, x -> x.c), 'max') as mx,
+           list_aggregate(
+             list_transform(
+               list_filter(cl, x -> x.c = list_aggregate(
+                   list_transform(cl, y -> y.c), 'max')),
+               x -> x.l), 'min') as bl
+    from (
+      select v.w, v.s, v.n, v.i, v.win, v.back,
+             list_filter(
+               list_transform(range(1, least(v.i + 1, {ML}) + 1),
+                 l -> {{'c': coalesce(m[v.s[v.i + 2 - l : v.i + 1]][1],
+                                      case when l = 1
+                                           then {unk!r}::double end)
+                              + v.win[len(v.win) + 1 - l],
+                       'l': l}}),
+               x -> x.c is not null) as cl
+      from vit v, vm
+      where v.i < v.n) q0) q),
+vfin as (select w, s, n, back from vit where i = n),
+vbt as (
+  select w, s, n, back, n as pos
+  from vfin
+  union all
+  select w, s, n, back, pos - back[pos]
+  from vbt where pos > 0),
+pcs as materialized (
+  select w,
+         row_number() over (partition by w order by hi) as k,
+         case when regexp_matches(s[lo + 1 : hi], '[0-9],$')
+              then error('sp oracle: encode_pieces digit-comma re-split '
+                         || 'triggered on word ' || w || ' — not '
+                         || 'restated in SQL')
+              else lo - 1 end as a,
+         hi - 2 as b
+  from (
+    select w, s, lag(pos) over (partition by w order by pos) as lo,
+           pos as hi
+    from vbt)
+  where lo is not null),
+tokp as (
+  select wp.sha, wp.wi, p.k, wp.wstart, wp.cap,
+         length(wp.gap) as glen, strpos(wp.gap, ' ') as gsp,
+         p.a, p.b
+  from wordpos wp join pcs p on p.w = wp.lw),
+tok as materialized (
+  select sha, row_number() over (partition by sha order by wi, k) - 1 as ti,
+         case
+           when a > 0 or (a = 0 and not cap) then wstart + a
+           when a = 0 then
+             case when gsp > 0 then
+                    case when wstart + 1 > wstart - glen + gsp
+                         then wstart - glen + gsp else wstart + 1 end
+                  when wi > 1 then
+                    case when wstart + 1 > wstart - glen
+                         then wstart - glen else wstart + 1 end
+                  else 0 end
+           else
+             case when gsp > 0 then wstart - glen + gsp - 1
+                  when wi > 1 then wstart - glen
+                  else 0 end
+         end as tstart,
+         case
+           when b > 0 or (b = 0 and not cap) then wstart + b
+           when b = 0 then
+             case when gsp > 0 then
+                    case when wstart - glen + gsp - 1 < wstart
+                         then wstart else wstart - glen + gsp - 1 end
+                  when wi > 1 then
+                    case when wstart - glen - 1 < wstart
+                         then wstart else wstart - glen - 1 end
+                  else case when wstart + 1 >= 1 then wstart
+                            else wstart + 1 end end
+           else
+             case when gsp > 0 then wstart - glen + gsp - 1
+                  when wi = 1 then 0
+                  else case when wstart - glen - 1 <
+                                 wstart + (case when cap then 1 else 0 end)
+                                 - 1
+                            then wstart
+                                 + (case when cap then 1 else 0 end) - 1
+                            else wstart - glen - 1 end
+                  end
+         end as tend
+  from tokp),
+elig as materialized (
+  select e.sha, e.content, t.n_toks
+  from eligw e
+  join (select sha, count(*) as n_toks from tok group by sha) t
+    using (sha))"""
+    return header + "," + _token_mrc_tail(qs, branches, T, n_top, n_best)
+
+
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "kg_mentions": sql_mentions,
@@ -866,4 +1079,5 @@ KG_ORACLES = {
     "nre_relations": sql_nre_relations,
     "mrc_nbest": sql_mrc_nbest,
     "mrc_token_answers": sql_mrc_token_answers,
+    "mrc_token_answers_sp": sql_mrc_token_answers_sp,
 }

@@ -846,11 +846,16 @@ KG_QUERIES["mrc_nbest"] = q_mrc_nbest
 KG_QUERIES["nre_relations"] = q_nre_relations
 KG_QUERIES["prep_tagger_records"] = q_prep_tagger_records
 KG_QUERIES["mrc_token_answers"] = q_mrc_token_answers
+# gated as of round 4: unigram-Viterbi-in-SQL + closed-form alignment with
+# case mismatches (oracle.sql_mrc_token_answers_sp)
+KG_QUERIES["mrc_token_answers_sp"] = q_mrc_token_answers_sp
 
 ROWS_ONLY_QUERIES = {
     "ner_eval_prf": q_ner_eval_prf,
-    # registered rows-only until the Viterbi-in-SQL oracle lands (r4)
-    "mrc_token_answers_sp": q_mrc_token_answers_sp,
+    # genuinely non-SQL-expressible: on unicode-decorated inputs the
+    # tokenizer's NFKD/quote normalization changes text length, so the LCS
+    # alignment has no closed form — gated by differential tests executing
+    # the reference's own _lcs_match (tests/test_sp_tokenizer.py)
     "mrc_token_answers_sp_unicode": q_mrc_token_answers_sp_unicode,
 }
 

@@ -217,6 +217,67 @@ def test_sp_token_mrc_fused_equals_staged(ray_session):
     assert a.equals(b)
 
 
+def test_sp_oracle_parity_edge_corpus(tmp_path, ray_session):
+    """The SP gate's closed-form-with-case-mismatches restatement holds
+    beyond the generated corpus: every closed-form branch is exercised —
+    capitalized words after space-bearing / no-space / leading gaps,
+    cap word as the FIRST word (no front neighbor), pieces that are
+    ``▁`` alone or end exactly at the cap char (forced via rare chars the
+    vocab only covers as singles), unknown chars, multi-space gaps, and
+    the zero-features exclusions including the uppercase-aware 0.8·n bar
+    — pipeline ≡ oracle on a hand-built parquet, value-compared the
+    driver way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from knowledgeextraction_ray.compare import compare
+    from knowledgeextraction_ray.oracle import sql_mrc_token_answers_sp
+    from knowledgeextraction_ray.pipelines.queries import token_answers_shape
+    from knowledgeextraction_ray.stages.mrc import token_mrc_pipeline
+
+    texts = [
+        "import Alpha\nclass Base:\n pass",          # caps after \n gaps
+        " import Beta",                              # leading space gap
+        "\n\nimport Gamma\ndef Run(arg0):",          # leading no-space gap
+        "Class_001:\nimport x",                      # cap word FIRST, no front
+        "import main  \t Handler",                   # multi-space gap + cap
+        "import Alef Bet Gimel Handler",             # many caps, eligible
+        "a\nB\nc\nd\ne\nf\ng\nh",                    # cap + ≤0.8 bar → drop
+        "import " + "z" * 1100,                      # LCS cap → drop
+        "def f(x):\n    y = Main()\n    z = f()\n",  # cap mid-line call
+    ]
+    tbl = pa.table({"content": texts})
+    pq.write_table(tbl, tmp_path / "edge_sp.parquet")
+    got = token_answers_shape(
+        token_mrc_pipeline(rd.from_arrow(tbl), tokenizer="sp"))
+    sql = sql_mrc_token_answers_sp(
+        "unused", corpus=str(tmp_path / "edge_sp.parquet"))
+    ok, msg = compare(got, sql)
+    assert ok, msg
+    assert got.count() == 6 * 4           # 3 exclusions really excluded
+
+
+def test_sp_oracle_guard_fails_loudly(tmp_path):
+    """Inputs outside the closed form (uppercase past word offset 0, or a
+    single-char uppercase word whose convert_index rear is the NEXT word)
+    raise an explicit DuckDB error() naming the word — never an opaque
+    value-hash mismatch (ADVICE r3 pattern)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgeextraction_ray.oracle import sql_mrc_token_answers_sp
+
+    for bad in ("import Q", "import aX"):
+        p = tmp_path / f"bad_{bad[-1]}.parquet"
+        pq.write_table(pa.table({"content": [bad]}), p)
+        sql = sql_mrc_token_answers_sp("unused", corpus=str(p))
+        with pytest.raises(duckdb.InvalidInputException,
+                           match="sp oracle assumption violated"):
+            duckdb.sql(sql).df()
+
+
 def test_sp_token_mrc_answers_snap_to_piece_boundaries(ray_session):
     """A candidate span grows to its covering piece span — e.g. the piece
     ``▁setup(a`` makes the FUNC answer ``setup(a`` — exactly the reference's
