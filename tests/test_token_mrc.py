@@ -204,6 +204,11 @@ def test_token_oracle_parity_edge_corpus(tmp_path):
         "import " + "x" * 1100,              # over the LCS cap → drop
         "   \n\t ",                          # whitespace-only → drop
         "def f(x):\n    y = g()\n    z = f()\n",
+        # matched chars EXACTLY 0.8·len (4 == 0.8·5): the reference DP
+        # bails on < and breaks its band loop on >, so exact equality is
+        # KEPT — the r3 gate's `>` diverged here (found by randomized
+        # layouts in r4, fixed to `>=` on both sides)
+        " b\nya",
     ]
     tbl = pa.table({"content": texts})
     pq.write_table(tbl, tmp_path / "edge.parquet")
@@ -212,8 +217,8 @@ def test_token_oracle_parity_edge_corpus(tmp_path):
                                 corpus=str(tmp_path / "edge.parquet"))
     ok, msg = compare(got, sql)
     assert ok, msg
-    # the four exclusions really excluded: 5 eligible files × 4 questions
-    assert got.count() == 5 * 4
+    # the four exclusions really excluded: 6 eligible files × 4 questions
+    assert got.count() == 6 * 4
 
 
 @pytest.fixture(scope="module")
@@ -255,6 +260,31 @@ def ref_lcs_match():
         return ns["f"][:n, :m], dict(ns["g"])
 
     return run
+
+
+def test_standin_closed_form_equals_dp():
+    """The stand-in query's closed-form alignment fast path
+    (``standin_token_maps``, r4) ≡ the banded-LCS DP path, over the corpus
+    grammar, the edge layouts, and exact-0.8 equality — including all drop
+    modes. (The documented tie-layout limit needs a ≤2-char word next to a
+    multi-space gap followed by a no-space gap, which the grammar cannot
+    produce; real tokenizers never take this path.)"""
+    from knowledgeextraction_ray.corpus import generate_file
+    from knowledgeextraction_ray.stages.mrc import (_context_token_maps,
+                                                    sp_tokenize,
+                                                    standin_token_maps)
+    edge = [" \n\t import alpha", " import alef bet gimel", "\n\nimport beta",
+            "import gamma\n\timport delta",
+            "import  doubled\ndef  spaced(x):",
+            "a\nb\nc\nd\ne\nf\ng\nh", "import " + "x" * 1100, "   \n\t ",
+            "def f(x):\n    y = g()\n    z = f()\n", " b\nya", ""]
+    for c in [generate_file(j)["content"] for j in range(300)] + edge:
+        dp = _context_token_maps(c, sp_tokenize)
+        cf = standin_token_maps(c) if c else None
+        assert (dp is None) == (cf is None), repr(c[:60])
+        if dp is not None:
+            assert list(dp[0]) == list(cf[0]) and \
+                list(dp[1]) == list(cf[1]) and dp[2] == cf[2], repr(c[:60])
 
 
 def test_lcs_dp_matches_reference(ref_lcs_match):
