@@ -13,6 +13,28 @@ from __future__ import annotations
 from .corpus import MENTION_PATTERNS, PREDICATES, alias_path, corpus_glob
 
 
+# Whitespace chars Python treats as separators (str.split / re \s) that
+# RE2's ASCII \s class does NOT: \v, the C1/file-separator controls, NBSP
+# and the Unicode space category. The segment/token oracles tokenize with
+# RE2 '\S+' while the pipeline splits with Python semantics — divergent
+# ONLY on these chars, which the corpus grammar never emits. The guard
+# makes that assumption fail LOUDLY (r4, per ADVICE) instead of as an
+# opaque value-hash mismatch.
+_NONASCII_WS_RE2 = (r"[\x0b\x1c-\x1f\x{85}\x{a0}\x{1680}"
+                    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}"
+                    r"\x{205f}\x{3000}]")
+
+
+def _ws_guarded(col: str = "content") -> str:
+    """SQL expression: ``col``, or a loud ``error()`` if it contains
+    whitespace outside RE2's ASCII ``\\s`` class."""
+    return (f"case when regexp_matches({col}, '{_NONASCII_WS_RE2}') "
+            f"then error('oracle assumption violated: content contains "
+            f"whitespace outside RE2 ASCII \\s (Python split treats it as "
+            f"a separator, this gate does not) — sha=' || sha256({col})) "
+            f"else {col} end")
+
+
 def _mentions_cte(corpus: str) -> str:
     """UNION ALL of regexp_extract_all per label — one row per raw mention."""
     parts = []
@@ -329,7 +351,7 @@ def _segments_ctes(sf_dir: str, max_payload: int = 382,
     return f"""
 files as (
   select repo || ':' || path as fid, repo, path,
-         sha256(content) as sha, content
+         sha256(content) as sha, {_ws_guarded()} as content
   from read_parquet('{corpus}')),
 rawlines as (
   select fid, unnest(string_split(content, chr(10))) as part,
@@ -701,7 +723,8 @@ def sql_mrc_token_answers(sf_dir: str, corpus: str | None = None) -> str:
   from elig""" for lab in MENTION_PATTERNS)
     header = f"""
 with files as materialized (
-  select distinct sha256(content) as sha, content, length(content) as L
+  select distinct sha256(content) as sha, {_ws_guarded()} as content,
+         length(content) as L
   from read_parquet('{corpus}')),
 tk as (
   select sha, content, L,
@@ -923,7 +946,8 @@ def sql_mrc_token_answers_sp(sf_dir: str, corpus: str | None = None) -> str:
     header = f"""
 with recursive
 files as materialized (
-  select distinct sha256(content) as sha, content, length(content) as L
+  select distinct sha256(content) as sha, {_ws_guarded()} as content,
+         length(content) as L
   from read_parquet('{corpus}')),
 tk as (
   select sha, content, L,

@@ -278,6 +278,27 @@ def test_sp_oracle_guard_fails_loudly(tmp_path):
             duckdb.sql(sql).df()
 
 
+def test_oracle_nonascii_whitespace_guard(tmp_path):
+    """Content containing whitespace Python splits on but RE2's ASCII
+    ``\\s`` does not (NBSP, \\v, U+2028, …) raises a loud error in BOTH
+    token oracles instead of a silent tokenization divergence (r4, per
+    ADVICE)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgeextraction_ray.oracle import (sql_mrc_token_answers,
+                                                sql_mrc_token_answers_sp)
+
+    for i, ws in enumerate(("\xa0", "\x0b", "\u2028", "\x85")):
+        p = tmp_path / f"ws{i}.parquet"
+        pq.write_table(pa.table({"content": [f"import a{ws}b"]}), p)
+        for fn in (sql_mrc_token_answers, sql_mrc_token_answers_sp):
+            with pytest.raises(duckdb.InvalidInputException,
+                               match="whitespace outside RE2"):
+                duckdb.sql(fn("unused", corpus=str(p))).df()
+
+
 def test_sp_token_mrc_answers_snap_to_piece_boundaries(ray_session):
     """A candidate span grows to its covering piece span — e.g. the piece
     ``▁setup(a`` makes the FUNC answer ``setup(a`` — exactly the reference's
