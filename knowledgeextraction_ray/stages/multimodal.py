@@ -49,19 +49,28 @@ def make_fake_media(n: int, kind: str = "image", seed: int = 23) -> pa.Table:
 class DecodeImage:
     """Actor: binary payload → decoded pixel stats + thumbnail feature.
 
-    Real decoders (PIL/libjpeg) are absent in this container: pass
-    ``fake=True`` for the deterministic stand-in (payload-hash-seeded
-    pixels), else NotImplementedError marks the integration point."""
+    PNG payloads decode FOR REAL (r4): ``functions/png.py`` is a
+    pure-stdlib codec (zlib + PNG filters 0-4 from the public spec), so one
+    real format flows payload → pixels → features end-to-end. Other
+    formats: pass ``fake=True`` for the deterministic stand-in
+    (payload-hash-seeded pixels), else NotImplementedError marks the
+    PIL/cv2 integration point for codecs this container lacks."""
 
     def __init__(self, fake: bool = False, thumb: int = 8):
         self.fake = fake
         self.thumb = thumb
 
     def _decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        from ..functions.png import decode_png, is_png
+        if is_png(payload):
+            img = decode_png(payload)
+            if img.shape[2] == 1:                 # grayscale → 3-channel
+                img = np.repeat(img, 3, axis=2)
+            return img[:, :, :3]                  # drop alpha for stats
         if not self.fake:
             raise NotImplementedError(
-                "image codec not available in this environment; "
-                "integrate PIL/cv2 here")
+                "non-PNG image codec not available in this environment; "
+                "integrate PIL/cv2 here (PNG decodes natively)")
         seed = int.from_bytes(sha256(payload).digest()[:4], "big")
         rs = np.random.RandomState(seed)
         return rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -16,6 +16,103 @@ def test_decode_stub_raises_without_fake():
         dec._decode_one(b"xx", 4, 4)
 
 
+def _gradient():
+    y, x = np.mgrid[0:24, 0:32]
+    return np.stack([(x * 8) % 256, (y * 10) % 256,
+                     (x * 3 + y * 5) % 256], axis=2).astype(np.uint8)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec (r4): encode→decode byte-exact for every
+    supported channel count, and all five spec filter types decode
+    correctly from an INDEPENDENTLY crafted stream (filters computed from
+    the spec's math here, not via encode_png)."""
+    import struct
+    import zlib
+
+    from knowledgeextraction_ray.functions.png import (_SIG, _chunk,
+                                                       decode_png,
+                                                       encode_png)
+    rs = np.random.RandomState(5)
+    for c in (1, 2, 3, 4):
+        a = rs.randint(0, 256, (13, 17, c), np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+
+    h, w, c = 5, 7, 3
+    a = rs.randint(0, 256, (h, w, c), np.uint8)
+    stride = w * c
+    flat = a.reshape(h, stride).astype(int)
+    raw = bytearray()
+    prev = np.zeros(stride, int)
+    z = np.zeros(c, int)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        left = np.concatenate([z, cur[:-c]])
+        ul = np.concatenate([z, prev[:-c]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pred = np.where((abs(p - left) <= abs(p - prev)) &
+                            (abs(p - left) <= abs(p - ul)), left,
+                            np.where(abs(p - prev) <= abs(p - ul),
+                                     prev, ul))
+            enc = cur - pred
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (_SIG + _chunk(b"IHDR", ihdr) +
+           _chunk(b"IDAT", zlib.compress(bytes(raw))) +
+           _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), a)
+
+
+def test_png_codec_rejects_corruption():
+    import pytest as _pytest
+
+    from knowledgeextraction_ray.functions.png import decode_png, encode_png
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    good = bytearray(encode_png(_gradient()))
+    good[40] ^= 0xFF                    # flip a byte inside IDAT
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+
+
+def test_decode_image_real_png_fixture():
+    """The committed PNG fixture decodes byte-exact to its generating
+    formula, and DecodeImage(fake=False) runs REAL decode on it — the
+    de-stubbed path (payload → pixels → features) with no fake anywhere."""
+    import os
+
+    from knowledgeextraction_ray.functions.png import decode_png
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "knowledgeextraction_ray", "fixtures",
+        "gradient_24x32.png")
+    payload = open(p, "rb").read()
+    img = decode_png(payload)
+    assert np.array_equal(img, _gradient())
+
+    import pyarrow as pa
+    batch = pa.table({
+        "media_id": ["png-0"], "kind": ["image"], "payload": [payload],
+        "meta_width": pa.array([32], pa.int32()),
+        "meta_height": pa.array([24], pa.int32()),
+        "meta_sample_rate": pa.array([0], pa.int32()),
+        "meta_n_frames": pa.array([0], pa.int32()),
+    })
+    out = DecodeImage(fake=False)(batch)
+    assert out["pixel_mean"][0].as_py() == float(_gradient().mean())
+    assert len(out["thumbnail"][0].as_py()) == 64
+
+
 def test_decode_images_pipeline_fake():
     media = make_fake_media(20, "image")
     ds = rd.from_arrow(media)
