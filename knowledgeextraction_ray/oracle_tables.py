@@ -90,6 +90,23 @@ from q join e on e.vec_id <> q.q_id
 qualify rank <= 10
 """
 
+# batch-query form (r4): every vector queries the whole table — the gate
+# covers the chunked-broadcast + merge path end-to-end (Q = all vec_ids)
+SQL_KNN_TOPK_BATCH = """
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings)
+select q.vec_id as q_id, e.vec_id as neighbor_id,
+       cast(row_number() over (
+         partition by q.vec_id
+         order by list_cosine_similarity(q.v, e.v) desc, e.vec_id asc)
+         as bigint) as rank,
+       round(list_cosine_similarity(q.v, e.v), 6) as sim
+from e q join e on e.vec_id <> q.vec_id
+qualify rank <= 5
+"""
+
+
 def _hyperplane_bucket_expr(bits: int, dim: int, seed: int) -> str:
     """SQL expression for the hyperplane-LSH bucket of a double list ``v``:
     the seeded plane matrix is embedded as SQL literals (repr round-trips
@@ -814,6 +831,7 @@ TABLE_ORACLES = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
     "knn_topk": SQL_KNN_TOPK,
+    "knn_topk_batch": SQL_KNN_TOPK_BATCH,
     "knn_lsh": SQL_KNN_LSH,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,

@@ -243,6 +243,20 @@ def q_knn_topk(sf_dir: str):
     return knn_brute(ds, query_ids=list(range(8)), k=10)
 
 
+def q_knn_topk_batch(sf_dir: str):
+    """Batch-query ANN (r4): the QUERY side is a Dataset — here the whole
+    embeddings table queries itself — through the chunked broadcast +
+    size-gated merge path (``knn_brute_ds``), so similarity search composes
+    with pipelines instead of a driver-provided ID list. Equality with the
+    list form and a Q=10k distributed-merge case are test-pinned."""
+    from ..stages.knn import knn_brute_ds
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return knn_brute_ds(ds, qds, k=5)
+
+
 def q_events_window(sf_dir: str):
     import ray.data as rd
 
@@ -750,6 +764,7 @@ TABLE_QUERIES["doc_curation"] = q_doc_curation
 TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf
+TABLE_QUERIES["knn_topk_batch"] = q_knn_topk_batch
 
 def q_mrc_token_answers(sf_dir: str):
     """TOKEN-level MRC (real-tokenizer composition): SP-style whitespace

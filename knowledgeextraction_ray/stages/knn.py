@@ -111,6 +111,102 @@ def knn_brute(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     return _global_topk(cands, k)
 
 
+def _multi_chunk_score(batch: pa.Table, *, chunk_refs, k: int) -> pa.Table:
+    """One data batch scored against EVERY query chunk — each chunk's
+    scorer derefs its broadcast matrix once per worker process
+    (``worker_state``), so N query chunks cost one object-store read each
+    per node, never a reship per batch."""
+    from ..runtime import worker_state
+    outs = []
+    for ci, ref in enumerate(chunk_refs):
+        key = ("knn_brute_ds", ref.hex() if hasattr(ref, "hex") else ci, k)
+        scorer = worker_state(key,
+                              lambda r=ref: BruteKnnScorer(queries_ref=r,
+                                                           k=k))
+        outs.append(scorer(batch))
+    return pa.concat_tables(outs)
+
+
+def knn_brute_ds(ds, queries_ds, k: int = 10, chunk_rows: int = 8192,
+                 merge: str = "auto",
+                 driver_merge_limit: int = 5_000_000) -> "object":
+    """Batch-query exact KNN: the query side is a DATASET of
+    ``(vec_id, embedding)`` rows, so similarity search composes with
+    pipelines instead of needing a driver-provided ID list (r3 verdict
+    item 8).
+
+    Scale shape: the query dataset streams to the driver chunk-by-chunk
+    (``iter_batches`` — driver memory bounded by ONE chunk) and each chunk
+    becomes one ``ray.put`` broadcast object; every data batch scores
+    against all chunks (same FLOPs as a monolithic matmul, worker memory
+    bounded by chunk_rows × D). Candidates are Q × k × num_blocks rows.
+    The final per-query top-k merge is size-gated: a driver pandas merge
+    below ``driver_merge_limit`` candidate rows, else a DISTRIBUTED
+    hash-bucketed merge (``merge="distributed"``; no whole-candidate-set
+    materialization on the driver). Self-matches (same vec_id) excluded,
+    ordering/rounding identical to :func:`knn_brute` — equality is
+    test-pinned.
+
+    Returns a pandas DataFrame (driver merge) or a Dataset (distributed
+    merge) with columns ``q_id, neighbor_id, rank, sim``."""
+    chunk_refs = []
+    n_queries = 0
+    for b in (queries_ds.select_columns(["vec_id", "embedding"])
+              .iter_batches(batch_size=chunk_rows, batch_format="pyarrow")):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        qm = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        chunk_refs.append(ray.put((ids[order].tolist(), qm[order])))
+        n_queries += len(ids)
+    if not chunk_refs:
+        return pd.DataFrame({"q_id": pd.Series(dtype="int64"),
+                             "neighbor_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    cands = ds.map_batches(
+        _multi_chunk_score, fn_kwargs={"chunk_refs": chunk_refs, "k": k},
+        batch_format="pyarrow", batch_size=4096)
+    # candidate estimate: per-batch top-k emission means ≤ Q × k rows per
+    # scored batch; lazy Datasets can't report a block count, so bound by a
+    # conservative batch estimate (the gate errs toward distributed merge)
+    try:
+        n_blocks = max(1, ds.num_blocks())
+    except (NotImplementedError, AttributeError):
+        n_blocks = 32
+    est = n_queries * k * n_blocks
+    if merge == "driver" or (merge == "auto" and est <= driver_merge_limit):
+        return _global_topk(cands, k)
+    return _global_topk_distributed(cands, k)
+
+
+def _global_topk_distributed(cands, k: int, num_buckets: int = 64):
+    """Distributed per-query top-k merge: q_ids hash into coarse buckets
+    (ONE small-cardinality groupby, never per-key driver work), each bucket
+    merges in pandas. Output ordering within a query matches
+    :func:`_global_topk`."""
+    from ..functions.tables import from_pandas_clean
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["q_id"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(num_buckets))
+        return batch.append_column("__bucket",
+                                   pa.array(b.astype(np.int32)))
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["q_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("q_id", sort=True).head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("q_id").cumcount() + 1
+        g["sim"] = g["sim"].round(6)
+        return from_pandas_clean(
+            g[["q_id", "neighbor_id", "rank", "sim"]])
+
+    return (cands.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pandas"))
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 15,
             seed: int = 13) -> np.ndarray:
     """Plain seeded Lloyd's k-means on a driver-side sample (numpy only)."""

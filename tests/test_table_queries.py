@@ -165,6 +165,50 @@ def test_embedding_neardup_planted():
     assert (0, 40) in got and (1, 41) in got
 
 
+def test_knn_batch_query_equals_list_form(sf_dir):
+    """The Dataset-query form (r4) ≡ the driver-list form on the same
+    queries, through the chunked broadcast path (chunk_rows=3 forces
+    multiple chunks)."""
+    import pandas as pd
+
+    from knowledgeextraction_ray.pipelines.queries import read_parquet_clean
+    from knowledgeextraction_ray.stages.knn import knn_brute, knn_brute_ds
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    a = knn_brute(ds, list(range(8)), k=10)
+    qds = ds.filter(lambda r: r["vec_id"] < 8)
+    b = knn_brute_ds(ds, qds, k=10, chunk_rows=3)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_knn_batch_query_10k_distributed_merge():
+    """Q=10k through the DISTRIBUTED merge path (never materializes the
+    candidate set on the driver); one query spot-checked exactly against a
+    numpy full scan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgeextraction_ray.stages.knn import knn_brute_ds
+    rs = np.random.RandomState(3)
+    N, Q, D = 12000, 10000, 16
+    vecs = rs.standard_normal((N, D))
+    tab = {"vec_id": list(range(N)),
+           "embedding": [v.tolist() for v in vecs]}
+    big = rd.from_arrow(pa.table(tab))
+    qds = rd.from_arrow(pa.table({"vec_id": tab["vec_id"][:Q],
+                                  "embedding": tab["embedding"][:Q]}))
+    pdf = knn_brute_ds(big, qds, k=3, chunk_rows=2048,
+                       merge="distributed").to_pandas()
+    assert len(pdf) == Q * 3
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit[7] @ unit.T
+    sims[7] = -2
+    want = np.argsort(-sims, kind="stable")[:3].tolist()
+    got = pdf[pdf.q_id == 7].sort_values("rank")["neighbor_id"].tolist()
+    assert got == want
+
+
 def test_knn_lsh_finds_planted_neighbors():
     """On isotropic random data LSH recall is near the scan fraction (no
     structure to exploit); the correctness property is that PLANTED
