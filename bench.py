@@ -136,23 +136,39 @@ def run_bench() -> dict:
     return out
 
 
+# The measured scaling job's code slice: the import closure of
+# pipelines.kg as exercised end-to-end (enumerated by running kg_pipeline
+# and listing loaded package modules), plus the wave-path modules its lazy
+# imports can pull in. Edits OUTSIDE this slice (new operators, oracles,
+# tests) cannot change the measured job, so they must NOT reset the merged
+# ladder history. tests/test_entry_contract.py pins that the real closure
+# stays a subset of this list.
+_KG_PIPELINE_FILES = [
+    "__init__.py", "config.py", "corpus.py", "runtime.py",
+    "functions/__init__.py", "functions/bio.py", "functions/featurize.py",
+    "functions/hashing.py", "functions/tables.py", "functions/textseg.py",
+    "pipelines/__init__.py", "pipelines/kg.py",
+    "stages/__init__.py", "stages/canonicalize.py", "stages/fused.py",
+    "stages/linking.py", "stages/mentions.py", "stages/ner_scorer.py",
+    "stages/segmenter.py", "stages/triples.py",
+    "state/__init__.py", "state/lineage.py",
+]
+
+
 def _code_fingerprint() -> str:
-    """sha256 over the package's .py sources (sorted paths + bytes) — the
-    same-code stamp for SCALING.json merges. Source hash, not git HEAD:
-    uncommitted edits to the measured pipeline must also invalidate the
-    history."""
+    """sha256 over the MEASURED JOB's .py sources (``_KG_PIPELINE_FILES``,
+    sorted paths + bytes) — the same-code stamp for SCALING.json merges.
+    Source hash, not git HEAD: uncommitted edits to the measured pipeline
+    must also invalidate the history; edits elsewhere must not."""
     import hashlib
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "knowledgeextraction_ray")
     h = hashlib.sha256()
-    for dirpath, dirnames, filenames in sorted(os.walk(root)):
-        dirnames.sort()
-        for fn in sorted(filenames):
-            if fn.endswith(".py"):
-                p = os.path.join(dirpath, fn)
-                h.update(os.path.relpath(p, root).encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
+    for rel in sorted(_KG_PIPELINE_FILES):
+        p = os.path.join(root, rel)
+        h.update(rel.encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
     return h.hexdigest()[:16]
 
 
