@@ -138,17 +138,23 @@ def fingerprint_rows_batch(batch: pa.Table) -> pa.Table:
     """Exploded form — one row per (doc, fingerprint ordinal). The winnowing
     scheme IS SQL-expressible (byte-hex k-gram polynomial hash + window min
     + consecutive dedup), so this form carries the full value-hash oracle
-    gate; the list form above is the API for downstream set operations."""
-    ids, idxs, fps = [], [], []
-    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        for i, f in enumerate(rolling_fingerprints(t)):
-            ids.append(d)
-            idxs.append(i)
-            fps.append(f)
+    gate; the list form above is the API for downstream set operations.
+    Explode is offset-vectorized (r4, per verdict): per-doc fingerprint
+    lists concatenate once, doc_id/ordinal columns come from one
+    ``np.repeat`` / per-doc ``arange`` — no per-fingerprint Python
+    appends (the inner ``rolling_fingerprints`` kernel was already
+    vectorized; docs stay the loop granularity)."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    fps = [rolling_fingerprints(t) for t in batch["text"].to_pylist()]
+    lens = np.array([len(f) for f in fps], dtype=np.int64)
+    flat = np.concatenate([np.asarray(f, dtype=np.int64) for f in fps]) \
+        if len(fps) else np.array([], dtype=np.int64)
+    idx = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+        if len(fps) else np.array([], dtype=np.int64)
     return pa.Table.from_pydict({
-        "doc_id": pa.array(ids, pa.int64()),
-        "fp_index": pa.array(idxs, pa.int64()),
-        "fingerprint": pa.array(fps, pa.int64()),
+        "doc_id": pa.array(np.repeat(doc_ids, lens), pa.int64()),
+        "fp_index": pa.array(idx, pa.int64()),
+        "fingerprint": pa.array(flat, pa.int64()),
     })
 
 
