@@ -585,6 +585,22 @@ def _splitmix_ctes(carry: str, id_expr: str, src: str) -> str:
     return ",\n".join(ctes)
 
 
+def _doc_shuffle_sql(seed: int = 12345) -> str:
+    """doc_shuffle oracle (T7/T8): the seeded permutation key
+    splitmix64(doc_id + seed·1_000_003 + epoch) per epoch ∈ {0, 1},
+    restated in hugeint limb arithmetic — hashing the keys gates the full
+    permutation (bijection per epoch)."""
+    parts = []
+    for epoch in (0, 1):
+        c = (seed * 1_000_003 + epoch) % (1 << 64)
+        parts.append(f"""
+select doc_id, {_to_int64('h')} as shuffle_key, {epoch}::bigint as epoch
+from (
+  with {_splitmix_ctes('doc_id', f'doc_id + {c}', 'documents')}
+  select * from k5)""")
+    return "\nunion all\n".join(parts)
+
+
 def _stratified_sample_sql(k: int = 20) -> str:
     """doc_stratified_sample oracle: splitmix64 key via limb CTEs, exactly-k
     smallest keys per source (bijection → no ties)."""
@@ -835,6 +851,7 @@ TABLE_ORACLES = {
     "knn_lsh": SQL_KNN_LSH,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+    "doc_shuffle": _doc_shuffle_sql(),
     "doc_sample_rate": SQL_DOC_SAMPLE_RATE,
     "doc_inverted_index": SQL_DOC_INVERTED_INDEX,
     "doc_bigram_counts": SQL_DOC_BIGRAM_COUNTS,

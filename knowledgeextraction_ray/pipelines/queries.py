@@ -243,6 +243,28 @@ def q_knn_topk(sf_dir: str):
     return knn_brute(ds, query_ids=list(range(8)), k=10)
 
 
+def q_doc_shuffle(sf_dir: str):
+    """Seeded epoch shuffle (SURVEY T7/T8, r4): the permutation KEY per
+    (doc, epoch) for two epochs — a bijection per epoch, so hashing the
+    keys gates the full permutation without shipping a global rank; the
+    ordering form is ``stages/sampling.seeded_shuffle`` (distributed sort
+    by this key), pinned by pytest."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.sampling import with_shuffle_key
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    parts = []
+    for epoch in (0, 1):
+        keyed = with_shuffle_key(ds, "doc_id", seed=12345, epoch=epoch)
+        parts.append(keyed.map_batches(
+            lambda b, e=epoch: b.append_column(
+                "epoch", pa.array([e] * len(b), pa.int64())),
+            batch_format="pyarrow"))
+    return parts[0].union(parts[1])
+
+
 def q_knn_topk_batch(sf_dir: str):
     """Batch-query ANN (r4): the QUERY side is a Dataset — here the whole
     embeddings table queries itself — through the chunked broadcast +
@@ -765,6 +787,7 @@ TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf
 TABLE_QUERIES["knn_topk_batch"] = q_knn_topk_batch
+TABLE_QUERIES["doc_shuffle"] = q_doc_shuffle
 
 def q_mrc_token_answers(sf_dir: str):
     """TOKEN-level MRC (real-tokenizer composition): SP-style whitespace

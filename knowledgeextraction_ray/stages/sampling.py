@@ -90,3 +90,54 @@ def stratified_sample(ds, stratum_col: str, id_col: str,
         "sample_key": final["key"].to_numpy().astype(np.int64),
         "rank": final["rank"].astype(np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# Seeded shuffle (SURVEY T7/T8)
+# ---------------------------------------------------------------------------
+
+def shuffle_key64(ids: np.ndarray, seed: int = 12345,
+                  epoch: int = 0) -> np.ndarray:
+    """The seeded-shuffle permutation key: ``splitmix64(id + C(seed,
+    epoch))`` with ``C = (seed·1_000_003 + epoch) mod 2^64``. A bijection
+    per (seed, epoch), so ranking by it is a uniform tie-free permutation;
+    DuckDB restates it exactly in hugeint limb arithmetic."""
+    c = np.uint64((seed * 1_000_003 + epoch) % (1 << 64))
+    with np.errstate(over="ignore"):
+        return splitmix64(ids.astype(np.uint64) + c)
+
+
+def with_shuffle_key(ds, id_col: str, seed: int = 12345, epoch: int = 0,
+                     out_col: str = "shuffle_key"):
+    """Row-local stage: append the signed-int64 view of the shuffle key
+    (zero exchange — the key IS the permutation, rank deferred to the
+    consumer)."""
+    def add(batch: pa.Table) -> pa.Table:
+        keys = shuffle_key64(batch[id_col].to_numpy(zero_copy_only=False),
+                             seed, epoch)
+        return batch.append_column(out_col,
+                                   pa.array(keys.astype(np.int64),
+                                            pa.int64()))
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def seeded_shuffle(ds, id_col: str, seed: int = 12345, epoch: int = 0):
+    """Deterministic cluster-stable shuffle — the Ray-Data-first
+    restatement of the reference's train shufflers (SURVEY T7
+    ``d.shuffle(buffer_size=100)``, ``crf_utils.py:267-269`` and T8
+    ``random.Random(12345).shuffle(train_examples)``,
+    ``run_mrc_albert.py:200-201``).
+
+    Both reference forms are single-process RNG-state shuffles —
+    irreproducible across engines and order-dependent, which a distributed
+    corpus cannot honor. The scale-native semantics they actually need is
+    "a seeded uniform permutation, fresh per epoch, identical on any
+    cluster layout": rank by the content-keyed bijection
+    :func:`shuffle_key64` (epoch folded into the seed — ``.repeat()``'s
+    per-epoch reshuffle). The ranking sort is Ray's distributed sort (the
+    one documented all-to-all this operator inherently requires);
+    consumers that only need batch-local mixing can skip it and use
+    ``iter_batches(local_shuffle_buffer_size=...)`` — the buffer-100
+    analog. The PERMUTATION itself (the key column) is row-local and
+    zero-exchange, and is what the SQL gate hashes."""
+    return with_shuffle_key(ds, id_col, seed, epoch).sort("shuffle_key")

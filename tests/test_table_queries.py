@@ -611,3 +611,26 @@ def test_tfidf_join_path_equals_broadcast(sf_dir):
                 .reset_index(drop=True).astype({"tf": "int64",
                                                 "df": "int64"}))
     pd.testing.assert_frame_equal(run(), run(vocab_driver_limit=0))
+
+
+def test_seeded_shuffle_orders_and_reshuffles(sf_dir):
+    """T7/T8 ordering form: seeded_shuffle really sorts by the gated key,
+    the permutation differs across epochs/seeds, and every doc survives."""
+    from knowledgeextraction_ray.pipelines.queries import read_parquet_clean
+    from knowledgeextraction_ray.stages.sampling import (seeded_shuffle,
+                                                         shuffle_key64)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    e0 = seeded_shuffle(ds, "doc_id", epoch=0).to_pandas()
+    keys = e0["shuffle_key"].to_numpy()
+    assert (np.diff(keys.astype(np.uint64).astype(np.float64)) >= 0).all() \
+        or (np.diff(keys) >= 0).all()     # sorted by the key column
+    ids0 = e0["doc_id"].tolist()
+    e1 = seeded_shuffle(ds, "doc_id", epoch=1).to_pandas()
+    assert sorted(ids0) == sorted(e1["doc_id"].tolist())
+    assert ids0 != e1["doc_id"].tolist()          # fresh permutation
+    # key column matches the kernel exactly
+    want = shuffle_key64(np.array(sorted(ids0), np.uint64), 12345, 0)
+    got = dict(zip(e0["doc_id"], e0["shuffle_key"]))
+    assert all(np.uint64(got[i]) == w
+               for i, w in zip(sorted(ids0), want))
