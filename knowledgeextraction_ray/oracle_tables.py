@@ -601,6 +601,57 @@ from (
     return "\nunion all\n".join(parts)
 
 
+def _train_metrics_sql(seed: int = 12345, step_bits: int = 6) -> str:
+    """doc_train_metrics oracle (G9): running token-weighted accumulators
+    over the seeded epoch stream — per-doc md5-of-identity stand-in
+    loss/correct, steps = top ``step_bits`` bits of the shuffle key,
+    cumulative window sums, ratios as exact integer division (all-int
+    arithmetic: no float margin assumptions anywhere)."""
+    shift = 1 << (64 - step_bits)
+    eps = []
+    for epoch in (0, 1):
+        c = (seed * 1_000_003 + epoch) % (1 << 64)
+        eps.append(f"""
+select doc_id, {epoch}::bigint as epoch,
+       (h // {shift}::hugeint)::bigint as step
+from (
+  with {_splitmix_ctes('doc_id', f'doc_id + {c}', 'documents')}
+  select * from k5)""")
+    keys = "\nunion all\n".join(eps)
+    return f"""
+with tok as (
+  select doc_id,
+         cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint)
+           as n_tok
+  from documents),
+m as (
+  select doc_id, n_tok,
+         ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
+           % (n_tok + 1) as corr,
+         1000 + ('0x' || substr(md5(doc_id::varchar || ':loss'), 1, 8))
+                ::bigint % 9000 as loss_e6
+  from tok),
+ks as ({keys}),
+g as (
+  select k.epoch, k.step, cast(count(*) as bigint) as n_docs,
+         sum(m.n_tok) as tok, sum(m.corr) as corr,
+         sum(m.loss_e6 * m.n_tok) as loss_tok
+  from ks k join m using (doc_id)
+  group by 1, 2)
+select epoch, step, n_docs,
+       cast(sum(tok) over w as bigint) as cum_tokens,
+       cast(sum(corr) over w as bigint) as cum_correct,
+       cast(sum(loss_tok) over w as bigint) as cum_loss_tok_e6,
+       cast(sum(corr) over w * 1000000 // sum(tok) over w as bigint)
+         as running_acc_e6,
+       cast(sum(loss_tok) over w // sum(tok) over w as bigint)
+         as running_loss_e6
+from g
+window w as (partition by epoch order by step
+             rows between unbounded preceding and current row)
+"""
+
+
 def _stratified_sample_sql(k: int = 20) -> str:
     """doc_stratified_sample oracle: splitmix64 key via limb CTEs, exactly-k
     smallest keys per source (bijection → no ties)."""
@@ -852,6 +903,7 @@ TABLE_ORACLES = {
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "doc_shuffle": _doc_shuffle_sql(),
+    "doc_train_metrics": _train_metrics_sql(),
     "doc_sample_rate": SQL_DOC_SAMPLE_RATE,
     "doc_inverted_index": SQL_DOC_INVERTED_INDEX,
     "doc_bigram_counts": SQL_DOC_BIGRAM_COUNTS,

@@ -265,6 +265,19 @@ def q_doc_shuffle(sf_dir: str):
     return parts[0].union(parts[1])
 
 
+def q_doc_train_metrics(sf_dir: str):
+    """Epoch accumulator metrics (SURVEY G9, r4): running token-weighted
+    loss/accuracy over the seeded train stream (T7/T8's permutation) —
+    the reference training loop's ``loss += mle_loss·nums; corr +=
+    corrects`` accumulators (``ner.py:170-204``) with md5-of-identity
+    stand-in signals. Steps are shuffle-key ranges (shuffle-free partial
+    aggregation); running ratios are exact integer divisions."""
+    from ..stages.metrics import epoch_train_metrics
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return epoch_train_metrics(ds)
+
+
 def q_knn_topk_batch(sf_dir: str):
     """Batch-query ANN (r4): the QUERY side is a Dataset — here the whole
     embeddings table queries itself — through the chunked broadcast +
@@ -788,6 +801,7 @@ TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf
 TABLE_QUERIES["knn_topk_batch"] = q_knn_topk_batch
 TABLE_QUERIES["doc_shuffle"] = q_doc_shuffle
+TABLE_QUERIES["doc_train_metrics"] = q_doc_train_metrics
 
 def q_mrc_token_answers(sf_dir: str):
     """TOKEN-level MRC (real-tokenizer composition): SP-style whitespace

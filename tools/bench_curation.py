@@ -123,14 +123,27 @@ def main() -> None:
     read = lambda: rd.read_parquet(path, file_extensions=["parquet"])  # noqa
     read().count()                      # warm page cache (untimed)
 
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    # headline FIRST (the number that matters survives a later crash)
+    t = time.perf_counter()
+    out = curation_pipeline(read())
+    pdf = out.groupby("reason").count().to_pandas()
+    total = round(time.perf_counter() - t, 2)
+    hist = dict(zip(pdf["reason"], pdf["count()"].astype(int)))
+    log(f"HEADLINE total={total}s reasons={hist}")
+
     stages = {}
     t0 = time.perf_counter()
     ds = read().materialize()
     stages["read_materialize"] = round(time.perf_counter() - t0, 2)
+    log(f"stage read_materialize={stages['read_materialize']}")
 
     t = time.perf_counter()
     ds.map_batches(_gates_batch, batch_format="pyarrow").count()
     stages["gates"] = round(time.perf_counter() - t, 2)
+    log(f"stage gates={stages['gates']}")
 
     t = time.perf_counter()
     from knowledgeextraction_ray.functions.hashing import sha256_column
@@ -140,21 +153,18 @@ def main() -> None:
                          "text_sha": sha256_column(batch["text"])})
     ds.map_batches(sha_rows, batch_format="pyarrow").count()
     stages["exact_sha_scan"] = round(time.perf_counter() - t, 2)
+    log(f"stage exact_sha_scan={stages['exact_sha_scan']}")
 
     t = time.perf_counter()
     minhash_dedup_keep(ds, threshold=0.7).count()
     stages["near_dedup_keep"] = round(time.perf_counter() - t, 2)
-
-    t = time.perf_counter()
-    out = curation_pipeline(read())
-    pdf = out.groupby("reason").count().to_pandas()
-    total = round(time.perf_counter() - t, 2)
-    hist = dict(zip(pdf["reason"], pdf["count()"].astype(int)))
+    log(f"stage near_dedup_keep={stages['near_dedup_keep']}")
 
     print(json.dumps({"metric": "curation_headroom", "n_docs": n_docs,
                       "num_cpus": ncpu, "total_sec": total,
                       "docs_per_sec": round(n_docs / total, 1),
-                      "stage_sec": stages, "reasons": hist}))
+                      "stage_sec": stages, "reasons": hist}),
+          flush=True)
     ray.shutdown()
 
 
