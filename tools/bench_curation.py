@@ -76,8 +76,9 @@ def _gen_shard(si: int, lo: int, hi: int, seed: int = 97) -> pa.Table:
                 _WORDS[int(rs.randint(len(_WORDS)))]
         else:
             text = _base_text(j, seed)
-            if rs.rand() < 0.002:       # planted secrets for the gate
-                text += ' aws_secret_access_key = "A" '
+            if rs.rand() < 0.002:       # planted AWS key for the gate
+                text += " AKIA" + "".join(
+                    chr(65 + c) for c in rs.randint(0, 26, 16))
         rows_id.append(j)
         rows_tx.append(text)
     return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
