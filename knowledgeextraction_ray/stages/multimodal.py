@@ -5,11 +5,13 @@ feature-extract / resize / frame-sample run as actor-pool ``map_batches``
 stages with SMALL batch sizes (payloads are large — batch_size × payload ×
 concurrency must fit worker heap; SURVEY.md "memory-aware").
 
-The image/audio codec libraries are not in this container, so the actual
-decode is STUBBED: ``DecodeImage`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded from the
-payload hash) produces shaped numpy output. The Ray-side plumbing — schema,
-actor signature, batch sizing, output layout — is real and tested, so a real
+No codec LIBRARIES ship in this container, but two real formats decode
+natively via pure-stdlib codecs: PNG (``functions/png.py``, zlib + spec
+filters) and WAV (``functions/wav.py``, RIFF/PCM). Other formats are
+STUBBED: the stages raise ``NotImplementedError`` unless ``fake=True``, in
+which case a deterministic fake decoder (seeded from the payload hash)
+produces shaped numpy output. The Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and tested, so a real
 codec drops into ``_decode_one``.
 """
 
@@ -98,22 +100,28 @@ class DecodeImage:
 
 
 class AudioFeatures:
-    """Actor: audio payload → frame-energy features (decode stubbed).
+    """Actor: audio payload → frame-energy features.
 
-    Real decode (soundfile/ffmpeg) is absent: ``fake=True`` synthesizes a
-    deterministic waveform from the payload hash; the Ray-side plumbing
-    (framing math from meta_sample_rate, fixed-size feature vector, small
-    batches) is real."""
+    WAV payloads decode FOR REAL (r4): ``functions/wav.py`` is a
+    pure-stdlib RIFF/PCM codec, so real audio flows payload → samples →
+    features end-to-end (multi-channel is mixed down to mono for the
+    energy features). Other containers (mp3/flac/ogg): pass ``fake=True``
+    for the deterministic stand-in (payload-hash-seeded waveform), else
+    NotImplementedError marks the soundfile/ffmpeg integration point."""
 
     def __init__(self, fake: bool = False, n_frames: int = 16):
         self.fake = fake
         self.n_frames = n_frames
 
     def _decode_one(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        from ..functions.wav import decode_wav, is_wav
+        if is_wav(payload):
+            samples, _rate = decode_wav(payload)
+            return samples.mean(axis=1)             # mono mixdown
         if not self.fake:
             raise NotImplementedError(
-                "audio codec not available in this environment; "
-                "integrate soundfile/ffmpeg here")
+                "non-WAV audio codec not available in this environment; "
+                "integrate soundfile/ffmpeg here (WAV decodes natively)")
         seed = int.from_bytes(sha256(payload).digest()[4:8], "big")
         rs = np.random.RandomState(seed)
         return rs.standard_normal(sample_rate)      # 1 s of fake audio

@@ -149,3 +149,109 @@ def test_audio_features_pipeline_fake():
     assert all(len(f) == 16 for f in out["frame_energy"])
     with pytest.raises(NotImplementedError):
         AudioFeatures(fake=False)._decode_one(b"x", 16000)
+
+
+def _sine():
+    t = np.arange(4000) / 8000.0
+    return 0.5 * np.sin(2 * np.pi * 440.0 * t)
+
+
+def test_wav_codec_roundtrip_and_stdlib_parity():
+    """encode_wav/decode_wav round-trip within quantization error at every
+    supported depth/channel shape, and the encoded bytes parse identically
+    through the INDEPENDENT stdlib ``wave`` reader (container parity)."""
+    import io
+    import struct
+    import wave as stdlib_wave
+
+    from knowledgeextraction_ray.functions.wav import (decode_wav,
+                                                       encode_wav, is_wav)
+    rs = np.random.RandomState(7)
+    # half a quantization step; 32-bit adds float32 mantissa error
+    for bits, tol in [(8, 0.5 / 128), (16, 0.5 / 32768), (32, 1e-7)]:
+        for channels in (1, 2):
+            a = rs.uniform(-0.95, 0.95, size=(200, channels))
+            payload = encode_wav(a, 16000, bits=bits)
+            assert is_wav(payload)
+            out, rate = decode_wav(payload)
+            assert rate == 16000 and out.shape == (200, channels)
+            assert np.abs(out - a).max() <= tol * 1.01
+            w = stdlib_wave.open(io.BytesIO(payload))
+            assert (w.getnchannels(), w.getframerate(),
+                    w.getsampwidth() * 8, w.getnframes()) == (
+                        channels, 16000, bits, 200)
+            raw = w.readframes(200)
+            assert raw == payload[-len(raw):]
+
+    # IEEE float32 (format tag 3) decodes exactly — build the container
+    # by hand since encode_wav writes integer PCM only
+    f = rs.standard_normal((50, 1)).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    frames = f.tobytes()
+    payload = (b"RIFF"
+               + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(frames)) + frames)
+    out, rate = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(out, f.astype(np.float32))
+
+
+def test_wav_codec_skips_unknown_chunks_and_rejects_garbage():
+    import struct
+
+    from knowledgeextraction_ray.functions.wav import decode_wav, encode_wav
+    good = encode_wav(_sine(), 8000, bits=16)
+    # splice an odd-length LIST chunk (with its RIFF pad byte) before fmt
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = (good[:12] + extra + good[12:])
+    spliced = (spliced[:4]
+               + struct.pack("<I", struct.unpack("<I", good[4:8])[0]
+                             + len(extra)) + spliced[8:])
+    a, rate = decode_wav(spliced)
+    b, _ = decode_wav(good)
+    assert np.array_equal(a, b) and rate == 8000
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_wav(b"not audio")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:100])
+    bad_bits = bytearray(good)
+    bad_bits[34] = 24                       # 24-bit: unsupported, loud
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(bad_bits))
+
+
+def test_audio_features_real_wav_fixture():
+    """The committed WAV fixture decodes to its generating formula and
+    AudioFeatures(fake=False) runs REAL decode on it — payload → samples →
+    frame energies with no fake anywhere (stereo exercises the mixdown)."""
+    import os
+
+    import pyarrow as pa
+
+    from knowledgeextraction_ray.functions.wav import decode_wav, encode_wav
+    from knowledgeextraction_ray.stages.multimodal import AudioFeatures
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "knowledgeextraction_ray", "fixtures",
+        "sine440_8k.wav")
+    payload = open(p, "rb").read()
+    samples, rate = decode_wav(payload)
+    assert rate == 8000 and samples.shape == (4000, 1)
+    assert np.abs(samples[:, 0] - _sine()).max() < 1 / 32000
+
+    stereo = encode_wav(np.stack([_sine(), -_sine()], axis=1), 8000)
+    batch = pa.table({
+        "media_id": ["wav-0", "wav-1"], "kind": ["audio"] * 2,
+        "payload": [payload, stereo],
+        "meta_width": pa.array([0, 0], pa.int32()),
+        "meta_height": pa.array([0, 0], pa.int32()),
+        "meta_sample_rate": pa.array([8000, 8000], pa.int32()),
+        "meta_n_frames": pa.array([0, 0], pa.int32()),
+    })
+    out = AudioFeatures(fake=False, n_frames=16)(batch)
+    energies = out["frame_energy"][0].as_py()
+    expect = [float(np.sqrt((f ** 2).mean()))
+              for f in np.array_split(samples[:, 0], 16)]
+    assert np.allclose(energies, expect)
+    # stereo mixdown of (sig, -sig) is ~silence
+    assert max(out["frame_energy"][1].as_py()) < 1e-4
