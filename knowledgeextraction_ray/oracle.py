@@ -331,7 +331,7 @@ def _group_prefix_len(pat: str) -> int:
 
 
 def _segments_ctes(sf_dir: str, max_payload: int = 382,
-                   min_len: int = 4) -> str:
+                   min_len: int = 4, corpus: str | None = None) -> str:
     """CTE chain restating the line segmenter (``functions/textseg``):
     newline split with ``\\n`` re-attached, GREEDY packing into ≤
     ``max_payload``-char chunks via a recursive chunk-start fold (one row
@@ -347,7 +347,7 @@ def _segments_ctes(sf_dir: str, max_payload: int = 382,
     assumption FAILS LOUDLY (r4, per ADVICE): ``lpos`` raises a DuckDB
     ``error()`` naming the offending file instead of letting the gate
     surface it as an opaque value-hash mismatch."""
-    corpus = corpus_glob(sf_dir)
+    corpus = corpus or corpus_glob(sf_dir)
     return f"""
 files as (
   select repo || ':' || path as fid, repo, path,
@@ -490,6 +490,138 @@ select guid, text, labels from (
   from segs s
   left join tagged t on t.guid = s.sha || ':' || s.si)
 where ('0x' || substr(md5(guid), 1, 8))::bigint % 100 < 90
+""")
+
+
+def _crf_span_stats_ctes(sf_dir: str, corpus: str | None = None) -> str:
+    """Shared CTEs for the CRF-training oracles: per-span stats over the
+    prep segments (``st``: split bucket, label, span length ``n``,
+    ``hn`` = 1 iff a char follows the span inside its segment).
+
+    The closed form they feed (derived in ``stages/crf_train`` and verified
+    empirically over the gate corpus + pinned edge cases in
+    ``tests/test_crf_train.py``):
+
+    - epoch 0 decodes every span char ``B`` (continuation-blind emissions
+      tie B/I at continuation chars; zero transitions → per-char argmax,
+      first-index tie-break → B), so train mismatch₀ = Σ(n−1) and the
+      nonzero bigram-delta cells per type are B→I (+count n≥2),
+      I→I (+Σ(n−2)), I→O (+count n≥2·hn), B→B (−Σ(n−1)),
+      B→O (−count n≥2·hn); every other cell cancels exactly (gold and
+      decode agree on all O positions, spans are never adjacent in the
+      grammar corpus — literal pattern prefixes separate them).
+    - after one sign update the margins are strict (≥1 through every span
+      position, emission-forced elsewhere), so epochs ≥1 decode gold:
+      mismatch 0, delta 0, dev F1 = 1e6.
+
+    PER-CELL coverage assumption of the epoch-1 "decode = gold" claim:
+    every transition cell a dev decode relies on must be TAUGHT by train —
+    a type with an n≥2 dev span needs count(n≥2) > 0 in train (B→I), and
+    a type with an n≥3 dev span needs Σ(n−2) > 0 in train (I→I; untaught,
+    the decoder alternates B-I-B-I to farm the +1 B→I cell). The gate
+    corpus satisfies both densely for all four types; a violation surfaces
+    as a value-hash mismatch, not silent corruption (pinned in
+    ``tests/test_crf_train.py``)."""
+    return ("with recursive "
+            + _segments_ctes(sf_dir, corpus=corpus) + ",\n"
+            + _segment_spans_ctes() + """,
+st as materialized (
+  select ('0x' || substr(md5(sha || ':' || si), 1, 8))::bigint % 100 as bkt,
+         label, g_e - g_s as n,
+         case when g_e < slen then 1 else 0 end as hn
+  from spans)""")
+
+
+def sql_crf_train_run(sf_dir: str, epochs: int = 3,
+                      corpus: str | None = None) -> str:
+    """Per-epoch training metrics (see :func:`_crf_span_stats_ctes`)."""
+    extra_epochs = ", ".join(str(e) for e in range(1, epochs))
+    return (_crf_span_stats_ctes(sf_dir, corpus) + f""",
+trseg as (
+  select count(*) as n_train
+  from segs
+  where ('0x' || substr(md5(sha || ':' || si), 1, 8))::bigint % 100 < 90),
+dvseg as (
+  select cast(coalesce(sum(slen), 0) as bigint) as total_tags
+  from segs
+  where ('0x' || substr(md5(sha || ':' || si), 1, 8))::bigint % 100
+        between 90 and 92),
+tr as (
+  select cast(coalesce(sum(case when n >= 2 then 1 else 0 end), 0) as bigint)
+           as c_ge2,
+         cast(coalesce(sum(greatest(n - 2, 0)), 0) as bigint) as s_ii,
+         cast(coalesce(sum(n - 1), 0) as bigint) as s_nm1,
+         cast(coalesce(sum(case when n >= 2 and hn = 1 then 1 else 0 end), 0)
+              as bigint) as c_ge2hn
+  from st where bkt < 90),
+dv as (
+  select cast(coalesce(sum(case when n = 1 then 1 else 0 end), 0) as bigint)
+           as c1,
+         cast(count(*) as bigint) as g,
+         cast(coalesce(sum(n), 0) as bigint) as p,
+         cast(coalesce(sum(n - 1), 0) as bigint) as mm
+  from st where bkt between 90 and 92),
+m as materialized (
+  select 0 as epoch, (select n_train from trseg) as n_train,
+         s_nm1 as mismatch_chars,
+         c_ge2 + s_ii + s_nm1 + 2 * c_ge2hn as delta_l1,
+         c1 as correct_chunks, g as gold_chunks, p as pred_chunks,
+         (select total_tags from dvseg) - mm as dev_correct_tags,
+         (select total_tags from dvseg) as dev_total_tags,
+         case when p + g > 0 then (2 * c1 * 1000000) // (p + g)
+              else 0 end as f1_e6
+  from tr, dv
+  union all
+  select e, (select n_train from trseg), 0, 0, g, g, g,
+         (select total_tags from dvseg), (select total_tags from dvseg),
+         case when g > 0 then 1000000 else 0 end
+  from dv, (select unnest([{extra_epochs}]) as e))
+select cast(epoch as bigint) as epoch, cast(n_train as bigint) as n_train,
+       mismatch_chars, delta_l1, correct_chunks, gold_chunks, pred_chunks,
+       dev_correct_tags, dev_total_tags, f1_e6,
+       case when epoch = (select min(epoch) from m
+                          where f1_e6 = (select max(f1_e6) from m))
+            then 1 else 0 end as is_best
+from m order by epoch
+""")
+
+
+def sql_crf_transitions(sf_dir: str, corpus: str | None = None) -> str:
+    """The learned matrix's closed form (see :func:`_crf_span_stats_ctes`):
+    per TRAIN type, sign of the epoch-0 delta on the five learnable cells;
+    every other cell 0 (all-label-pair scaffold)."""
+    labels = ["O"] + [f"{t}-{s}" for t in MENTION_PATTERNS for s in "BI"]
+    lits = ", ".join(f"'{lab}'" for lab in labels)
+    return (_crf_span_stats_ctes(sf_dir, corpus) + f""",
+stt as materialized (
+  select label,
+         cast(sum(case when n >= 2 then 1 else 0 end) as bigint) as c_ge2,
+         cast(sum(greatest(n - 2, 0)) as bigint) as s_ii,
+         cast(sum(n - 1) as bigint) as s_nm1,
+         cast(sum(case when n >= 2 and hn = 1 then 1 else 0 end) as bigint)
+           as c_ge2hn
+  from st where bkt < 90 group by label),
+nz as (
+  select label || '-B' as f, label || '-I' as t,
+         case when c_ge2 > 0 then 1 else 0 end as w from stt
+  union all
+  select label || '-I', label || '-I',
+         case when s_ii > 0 then 1 else 0 end from stt
+  union all
+  select label || '-I', 'O',
+         case when c_ge2hn > 0 then 1 else 0 end from stt
+  union all
+  select label || '-B', label || '-B',
+         case when s_nm1 > 0 then -1 else 0 end from stt
+  union all
+  select label || '-B', 'O',
+         case when c_ge2hn > 0 then -1 else 0 end from stt),
+labs as (select unnest([{lits}]) as lab)
+select a.lab as from_label, b.lab as to_label,
+       cast(coalesce(nz.w, 0) as bigint) as weight
+from labs a cross join labs b
+left join nz on nz.f = a.lab and nz.t = b.lab
+order by from_label, to_label
 """)
 
 
@@ -1108,4 +1240,6 @@ KG_ORACLES = {
     "mrc_nbest": sql_mrc_nbest,
     "mrc_token_answers": sql_mrc_token_answers,
     "mrc_token_answers_sp": sql_mrc_token_answers_sp,
+    "crf_train_run": sql_crf_train_run,
+    "crf_transitions": sql_crf_transitions,
 }

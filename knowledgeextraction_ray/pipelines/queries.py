@@ -635,43 +635,52 @@ def q_nre_relations(sf_dir: str):
     return nre_pipeline(scored)
 
 
-def q_prep_tagger_records(sf_dir: str):
-    """Prep pipeline output (train split) row count + char/label invariants
-    checked downstream; returns the train tagger records."""
-    from .kg import read_corpus
-    from .prep import prep_pipeline
+def docs_from_corpus(batch: "pa.Table") -> "pa.Table":
+    """corpus → gold doc records (guid, text, entities) via grammar."""
+    import re
+
     import pyarrow as pa
 
     from ..corpus import MENTION_PATTERNS
-    import re
+    from ..functions.hashing import sha256_hex
+    pats = [(lab, re.compile(p)) for lab, p in MENTION_PATTERNS.items()]
+    out = {"guid": [], "text": [], "entities": []}
+    for content in batch["content"].to_pylist():
+        ents = []
+        for lab, pat in pats:
+            for m in pat.finditer(content):
+                s, e = m.span(1)
+                ents.append({"label_type": lab, "start_pos": s,
+                             "end_pos": e})
+        out["guid"].append(sha256_hex(content))
+        out["text"].append(content)
+        out["entities"].append(ents)
+    ent_t = pa.list_(pa.struct([("label_type", pa.string()),
+                                ("start_pos", pa.int32()),
+                                ("end_pos", pa.int32())]))
+    return pa.Table.from_pydict({
+        "guid": pa.array(out["guid"], pa.string()),
+        "text": pa.array(out["text"], pa.string()),
+        "entities": pa.array(out["entities"], ent_t),
+    })
 
-    def docs_from_corpus(batch: pa.Table) -> pa.Table:
-        """corpus → gold doc records (guid, text, entities) via grammar."""
-        pats = [(lab, re.compile(p)) for lab, p in MENTION_PATTERNS.items()]
-        out = {"guid": [], "text": [], "entities": []}
-        from ..functions.hashing import sha256_hex
-        for content in batch["content"].to_pylist():
-            ents = []
-            for lab, pat in pats:
-                for m in pat.finditer(content):
-                    s, e = m.span(1)
-                    ents.append({"label_type": lab, "start_pos": s,
-                                 "end_pos": e})
-            out["guid"].append(sha256_hex(content))
-            out["text"].append(content)
-            out["entities"].append(ents)
-        ent_t = pa.list_(pa.struct([("label_type", pa.string()),
-                                    ("start_pos", pa.int32()),
-                                    ("end_pos", pa.int32())]))
-        return pa.Table.from_pydict({
-            "guid": pa.array(out["guid"], pa.string()),
-            "text": pa.array(out["text"], pa.string()),
-            "entities": pa.array(out["entities"], ent_t),
-        })
 
+def _tagger_splits(sf_dir: str):
+    """Grammar corpus → (train, dev, test) tagger-record Datasets — the
+    shared front of the prep/train-path queries."""
+    from .kg import read_corpus
+    from .prep import prep_pipeline
     docs = read_corpus(sf_dir).map_batches(docs_from_corpus,
                                            batch_format="pyarrow")
-    train, dev, test = prep_pipeline(docs)
+    return prep_pipeline(docs)
+
+
+def q_prep_tagger_records(sf_dir: str):
+    """Prep pipeline output (train split) row count + char/label invariants
+    checked downstream; returns the train tagger records."""
+    import pyarrow as pa
+
+    train, dev, test = _tagger_splits(sf_dir)
 
     def join_labels(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -892,6 +901,31 @@ def token_answers_shape(nbest):
     return nbest.map_batches(shape, batch_format="pyarrow")
 
 
+def q_crf_train_run(sf_dir: str):
+    """CRF transition-training run metrics (reference train loop restated as
+    distributed structured-perceptron epochs — ``stages/crf_train``): one
+    row per epoch with train mismatch/update-mass and dev conlleval chunk
+    F1, ``is_best`` marking the best-checkpoint epoch. All-integer, so the
+    whole TRAINING RUN is value-hash gated (the oracle is the closed form
+    of the converged perceptron on the grammar corpus)."""
+    from ..stages.crf_train import train_crf_transitions
+    train, dev, _ = _tagger_splits(sf_dir)
+    metrics, _T = train_crf_transitions(train, dev)
+    return metrics.drop(columns=["train_nll"])
+
+
+def q_crf_transitions(sf_dir: str):
+    """The LEARNED transition matrix after training (81 tidy rows): the
+    analog of the reference's trained ``transition_params``
+    (``crf_albert.py:147-168``) — must encode exactly the BIO continuation
+    structure that ``ner_scorer.bio_transitions`` hard-codes for
+    inference."""
+    from ..stages.crf_train import train_crf_transitions, transitions_frame
+    train, dev, _ = _tagger_splits(sf_dir)
+    _metrics, T = train_crf_transitions(train, dev)
+    return transitions_frame(T)
+
+
 # gated as of round 3 (oracle.py segment/window/token restatements) — in
 # KG_QUERIES so the pytest oracle-parity parametrization covers them
 KG_QUERIES["mrc_nbest"] = q_mrc_nbest
@@ -901,6 +935,9 @@ KG_QUERIES["mrc_token_answers"] = q_mrc_token_answers
 # gated as of round 4: unigram-Viterbi-in-SQL + closed-form alignment with
 # case mismatches (oracle.sql_mrc_token_answers_sp)
 KG_QUERIES["mrc_token_answers_sp"] = q_mrc_token_answers_sp
+# gated as of round 4: the training loop's closed form (oracle.sql_crf_*)
+KG_QUERIES["crf_train_run"] = q_crf_train_run
+KG_QUERIES["crf_transitions"] = q_crf_transitions
 
 ROWS_ONLY_QUERIES = {
     "ner_eval_prf": q_ner_eval_prf,

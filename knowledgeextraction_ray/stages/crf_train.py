@@ -1,0 +1,261 @@
+"""CRF transition training as a distributed Ray Data job (reference G9/train).
+
+The reference's largest untranslated subsystem is the train loop: a CRF head
+over the encoder, ``tf.contrib.crf.crf_log_likelihood`` with a LEARNED
+``[num_labels, num_labels]`` transition matrix
+(``knowledgeextractor/nermodels/crf_albert.py:147-168``), driven by an
+estimator train/eval/best-checkpoint loop
+(``test/albertNER/run_crf_albert.py:197-295``). This module restates that
+loop data-parallel and EXACTLY (value-hash gateable):
+
+- the gradient step becomes a **structured-perceptron transition update**
+  (Collins 2002) with *iterative parameter mixing* (McDonald et al. 2010):
+  each epoch is one full ``map_batches`` pass over the cached feature
+  dataset; every batch emits the sufficient statistic ``gold bigram counts −
+  decoded bigram counts`` (a (K, K) int64 partial — associative, tiny), the
+  driver sums the partials and applies ``T ← T + sign(Σ delta)``. Integer
+  emissions + integer transitions + max-plus Viterbi keep every quantity
+  EXACT, so the whole training run is deterministic under any block layout
+  and restatable in SQL.
+- the emission model is the rule encoder degraded to **type+start aware but
+  continuation-blind**: ``O``=5 everywhere, span-B=10 at every span char,
+  span-I=10 at continuation chars only. Per-char argmax therefore tags every
+  span char ``B`` — the trainer must LEARN exactly the B→I/I→I continuation
+  structure that inference hard-codes in ``bio_transitions()``; one epoch
+  provably suffices (strict ≥1 margins after the first update, no tie-break
+  dependence; pinned empirically over the gate corpus).
+- eval per epoch is the conlleval chunk F1 over the DEV split
+  (``chunk_counts_ids`` partials), and ``is_best`` marks the earliest
+  best-F1 epoch — the reference's best-checkpoint selection
+  (``run_crf_albert.py:283-291``).
+- the forward-algorithm NLL (the literal ``crf_log_likelihood`` analog,
+  ``functions/crf.crf_nll``) is computed on demand (``with_nll=True``);
+  float sums are block-order dependent, so NLL stays out of the gated
+  columns and is asserted monotone in tests instead.
+
+At 100 TB: features are materialized once (the reference's TFRecord cache,
+S6/S16) and each epoch is a shuffle-free streaming pass emitting ~100 ints
+per block; the driver holds only (K, K) matrices. The transition matrix is a
+broadcast-small closure (re-broadcast per epoch), never per-row state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.conlleval import chunk_counts_ids
+from ..functions.crf import bigram_counts, crf_nll, viterbi_payload
+from ..stages.ner_scorer import LABEL_LIST, NUM_LABELS
+
+O_SCORE = 5.0
+SPAN_SCORE = 10.0
+
+FEATURE_SCHEMA = pa.schema([
+    ("guid", pa.string()), ("slen", pa.int32()),
+    ("gold", pa.list_(pa.int8())),
+    ("sp_s", pa.list_(pa.int32())), ("sp_e", pa.list_(pa.int32())),
+    ("sp_t", pa.list_(pa.int8())),
+])
+
+
+def featurize_crf_batch(batch: pa.Table) -> pa.Table:
+    """Tagger records (guid, text, token_labels) → CRF training features:
+    per-char gold label ids plus the gold chunk spans (start, end, type)
+    the emission builder scatters from. Fully columnar: label→id via one
+    ``index_in`` over the flattened list column, span extraction via the
+    same separator-padded flat-space walk as ``chunk_counts_ids`` (so span
+    semantics ≡ ``bio.bio_to_spans``, including malformed I-after-O
+    starts)."""
+    import pyarrow.compute as pc
+    batch = batch.combine_chunks()
+    lc = batch["token_labels"]
+    if isinstance(lc, pa.ChunkedArray):
+        lc = lc.combine_chunks()
+    # flatten() (not .values) so sliced arrays index correctly from 0
+    ids = pc.index_in(lc.flatten(), value_set=pa.array(LABEL_LIST))
+    if ids.null_count:
+        raise ValueError("unknown label in token_labels")
+    g = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = lc.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    lens = np.diff(off)
+    n_rows = len(lens)
+    total = int(lens.sum())
+    # separator-padded flat space: one O between rows so no span crosses
+    pos = np.arange(total, dtype=np.int64) + \
+        np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    N = total + n_rows
+    G = np.zeros(N, np.int64)
+    G[pos] = g
+    typ = np.where(G > 0, (G + 1) // 2, 0)
+    isb = (G > 0) & (G % 2 == 1)
+    start = (typ > 0) & (isb | (typ != np.r_[0, typ[:-1]]))
+    brk = np.r_[np.flatnonzero(start | (typ == 0)), N]
+    s_flat = np.flatnonzero(start)
+    e_flat = brk[np.searchsorted(brk, s_flat, side="right")]
+    row_off = np.r_[0, np.cumsum(lens + 1)][:-1]
+    row = np.searchsorted(row_off, s_flat, side="right") - 1
+    sp_s = (s_flat - row_off[row]).astype(np.int32)
+    sp_e = (e_flat - row_off[row]).astype(np.int32)
+    sp_t = (typ[s_flat] - 1).astype(np.int8)
+    counts = np.bincount(row, minlength=n_rows)
+    sp_off = np.r_[0, np.cumsum(counts)].astype(np.int32)
+    return pa.Table.from_arrays([
+        batch["guid"],
+        pa.array(lens, pa.int32()),
+        pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                 ids.cast(pa.int8())),
+        pa.ListArray.from_arrays(sp_off, pa.array(sp_s, pa.int32())),
+        pa.ListArray.from_arrays(sp_off, pa.array(sp_e, pa.int32())),
+        pa.ListArray.from_arrays(sp_off, pa.array(sp_t, pa.int8())),
+    ], schema=FEATURE_SCHEMA)
+
+
+def _padded(batch: pa.Table):
+    """Feature batch → (gold (N, Lmax) int8, lens, span flat arrays)."""
+    batch = batch.combine_chunks()
+    lens = batch["slen"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(lens)
+    Lmax = int(lens.max()) if n else 0
+    gc = batch["gold"]
+    if isinstance(gc, pa.ChunkedArray):
+        gc = gc.combine_chunks()
+    flat = gc.flatten().to_numpy(zero_copy_only=False)
+    gold = np.zeros((n, Lmax), np.int8)
+    pos_in_row = np.arange(int(lens.sum()), dtype=np.int64) - \
+        np.repeat(np.cumsum(lens) - lens, lens)
+    gold[np.repeat(np.arange(n), lens), pos_in_row] = flat
+    spans = {}
+    for name in ("sp_s", "sp_e", "sp_t"):
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        spans[name] = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if name == "sp_s":
+            sizes = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            spans["row"] = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    return gold, lens, flat, spans, Lmax
+
+
+def build_emissions(lens: np.ndarray, spans: dict, Lmax: int) -> np.ndarray:
+    """(N, Lmax, K) continuation-blind emissions (module docstring): one
+    vectorized scatter per role, no per-row loop."""
+    n = len(lens)
+    em = np.zeros((n, Lmax, NUM_LABELS), np.float32)
+    em[:, :, 0] = np.where(np.arange(Lmax)[None, :] < lens[:, None],
+                           O_SCORE, 0.0)
+    r, s, e, t = spans["row"], spans["sp_s"], spans["sp_e"], spans["sp_t"]
+    ln = e - s
+    if len(ln):
+        tot = int(ln.sum())
+        rr = np.repeat(r, ln)
+        pp = np.arange(tot, dtype=np.int64) - \
+            np.repeat(np.cumsum(ln) - ln, ln) + np.repeat(s, ln)
+        em[rr, pp, np.repeat(1 + 2 * t, ln)] = SPAN_SCORE
+        ln2 = ln - 1
+        tot2 = int(ln2.sum())
+        if tot2:
+            rr2 = np.repeat(r, ln2)
+            pp2 = np.arange(tot2, dtype=np.int64) - \
+                np.repeat(np.cumsum(ln2) - ln2, ln2) + np.repeat(s + 1, ln2)
+            em[rr2, pp2, np.repeat(2 + 2 * t, ln2)] = SPAN_SCORE
+    return em
+
+
+def _train_partial(batch: pa.Table, trans: np.ndarray,
+                   with_nll: bool) -> pa.Table:
+    """One train-pass partial: decode with current transitions → bigram
+    delta (gold − decoded), mismatch char count, optional NLL sum."""
+    gold, lens, _, spans, Lmax = _padded(batch)
+    em = build_emissions(lens, spans, Lmax)
+    dec = viterbi_payload(em, lens, trans)
+    mask = np.arange(Lmax)[None, :] < lens[:, None]
+    mismatch = int(((dec != gold) & mask).sum())
+    delta = bigram_counts(gold, lens, NUM_LABELS) - \
+        bigram_counts(dec, lens, NUM_LABELS)
+    nll = float(crf_nll(em, gold.astype(np.int64), lens, trans).sum()) \
+        if with_nll else 0.0
+    return pa.Table.from_pydict({
+        "delta": pa.array([delta.ravel().tolist()], pa.list_(pa.int64())),
+        "mismatch": pa.array([mismatch], pa.int64()),
+        "n_seq": pa.array([len(lens)], pa.int64()),
+        "nll": pa.array([nll], pa.float64()),
+    })
+
+
+def _eval_partial(batch: pa.Table, trans: np.ndarray) -> pa.Table:
+    """One dev-pass partial: decode → conlleval chunk/tag counts."""
+    gold, lens, flat, spans, Lmax = _padded(batch)
+    em = build_emissions(lens, spans, Lmax)
+    dec = viterbi_payload(em, lens, trans)
+    mask = np.arange(Lmax)[None, :] < lens[:, None]
+    cc = chunk_counts_ids(flat, dec[mask], lens, LABEL_LIST)
+    return pa.Table.from_pydict(
+        {k: pa.array([v], pa.int64()) for k, v in cc.as_row().items()})
+
+
+def train_crf_transitions(train_ds, dev_ds, epochs: int = 3,
+                          with_nll: bool = False):
+    """Run the perceptron training loop; returns (metrics DataFrame — one
+    row per epoch, integer columns except ``train_nll`` — and the final
+    (K, K) int64 transition matrix).
+
+    Epoch e measures with ``T_e`` (train mismatch/delta AND dev eval), then
+    updates ``T_{e+1} = T_e + sign(Σ delta_e)`` — mix-then-update, so the
+    result is independent of batch/block boundaries."""
+    feat_train = train_ds.map_batches(
+        featurize_crf_batch, batch_format="pyarrow").materialize()
+    feat_dev = dev_ds.map_batches(
+        featurize_crf_batch, batch_format="pyarrow").materialize()
+    T = np.zeros((NUM_LABELS, NUM_LABELS), np.int64)
+    rows = []
+    for e in range(epochs):
+        Te = T.copy()
+        tp = feat_train.map_batches(
+            lambda b, _T=Te: _train_partial(b, _T, with_nll),
+            batch_format="pyarrow").to_pandas()
+        delta = np.sum(np.stack(tp["delta"].to_numpy()), axis=0) \
+            .reshape(NUM_LABELS, NUM_LABELS) if len(tp) else \
+            np.zeros((NUM_LABELS, NUM_LABELS), np.int64)
+        dv = feat_dev.map_batches(
+            lambda b, _T=Te: _eval_partial(b, _T),
+            batch_format="pyarrow").to_pandas()
+        c = int(dv["correct_chunks"].sum())
+        g = int(dv["gold_chunks"].sum())
+        p = int(dv["pred_chunks"].sum())
+        rows.append({
+            "epoch": e,
+            "n_train": int(tp["n_seq"].sum()),
+            "mismatch_chars": int(tp["mismatch"].sum()),
+            "delta_l1": int(np.abs(delta).sum()),
+            "correct_chunks": c, "gold_chunks": g, "pred_chunks": p,
+            "dev_correct_tags": int(dv["correct_tags"].sum()),
+            "dev_total_tags": int(dv["total_tags"].sum()),
+            "f1_e6": (2 * c * 10**6) // (p + g) if p + g else 0,
+            "train_nll": float(tp["nll"].sum()),
+        })
+        T = T + np.sign(delta).astype(np.int64)
+    best = max(range(len(rows)), key=lambda i: (rows[i]["f1_e6"], -i))
+    for i, r in enumerate(rows):
+        r["is_best"] = 1 if i == best else 0
+    metrics = pd.DataFrame(rows)
+    for col in metrics.columns:
+        if col != "train_nll":
+            metrics[col] = metrics[col].astype("int64")
+    return metrics, T
+
+
+def transitions_frame(T: np.ndarray) -> pd.DataFrame:
+    """(K, K) matrix → tidy 81-row (from_label, to_label, weight) frame."""
+    out = {"from_label": [], "to_label": [], "weight": []}
+    for i, fl in enumerate(LABEL_LIST):
+        for j, tl in enumerate(LABEL_LIST):
+            out["from_label"].append(fl)
+            out["to_label"].append(tl)
+            out["weight"].append(int(T[i, j]))
+    df = pd.DataFrame(out)
+    df["weight"] = df["weight"].astype("int64")
+    return df

@@ -1,0 +1,243 @@
+"""CRF transition training (stages/crf_train): kernel parity, convergence,
+NLL behavior, edge-case semantics, and hand-built-corpus oracle parity.
+
+The trained object is the analog of the reference's learned
+``transition_params`` (``/root/reference/knowledgeextractor/nermodels/
+crf_albert.py:147-168``); the loop is the estimator train/eval/best-ckpt
+cycle (``test/albertNER/run_crf_albert.py:197-295``) restated as
+structured-perceptron epochs with iterative parameter mixing.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from knowledgeextraction_ray.functions.crf import (bigram_counts, crf_nll,
+                                                   crf_nll_ref,
+                                                   viterbi_payload,
+                                                   viterbi_payload_ref)
+from knowledgeextraction_ray.stages.crf_train import (build_emissions,
+                                                      featurize_crf_batch,
+                                                      train_crf_transitions,
+                                                      transitions_frame,
+                                                      _padded)
+from knowledgeextraction_ray.stages.ner_scorer import (LABEL2ID, LABEL_LIST,
+                                                       NUM_LABELS)
+
+
+def test_viterbi_payload_matches_ref():
+    """Batch Viterbi ≡ scalar reference, including ties (small-int
+    emissions/transitions make ties common) and zero-length rows."""
+    rs = np.random.RandomState(7)
+    for _ in range(30):
+        n, L, K = rs.randint(1, 7), rs.randint(1, 10), rs.randint(2, 7)
+        em = rs.randint(0, 4, size=(n, L, K)).astype(np.float64)
+        lens = rs.randint(0, L + 1, size=n)
+        T = rs.randint(-2, 3, size=(K, K)).astype(np.float64)
+        assert (viterbi_payload(em, lens, T) ==
+                viterbi_payload_ref(em, lens, T)).all()
+
+
+def test_crf_nll_matches_ref():
+    rs = np.random.RandomState(11)
+    for _ in range(20):
+        n, L, K = rs.randint(1, 6), rs.randint(1, 9), rs.randint(2, 6)
+        em = rs.standard_normal((n, L, K))
+        lens = rs.randint(0, L + 1, size=n)
+        T = rs.standard_normal((K, K))
+        tags = np.zeros((n, L), np.int64)
+        for i in range(n):
+            tags[i, :lens[i]] = rs.randint(0, K, size=lens[i])
+        assert np.allclose(crf_nll(em, tags, lens, T),
+                           crf_nll_ref(em, tags, lens, T))
+
+
+def test_bigram_counts_matches_naive():
+    rs = np.random.RandomState(3)
+    n, L, K = 6, 12, 5
+    tags = rs.randint(0, K, size=(n, L)).astype(np.int8)
+    lens = rs.randint(0, L + 1, size=n)
+    naive = np.zeros((K, K), np.int64)
+    for i in range(n):
+        for t in range(int(lens[i]) - 1):
+            naive[tags[i, t], tags[i, t + 1]] += 1
+    assert (bigram_counts(tags, lens, K) == naive).all()
+
+
+def _records(rows):
+    """[(guid, labels)] → tagger-record Table (text is len-matched filler —
+    the trainer consumes only token_labels)."""
+    return pa.Table.from_pydict({
+        "guid": [g for g, _ in rows],
+        "text": ["x" * len(ls) for _, ls in rows],
+        "token_labels": [ls for _, ls in rows],
+    })
+
+
+def _labels(spec, n):
+    """span spec [(type, s, e)] over length n → per-char BIO labels."""
+    out = ["O"] * n
+    for t, s, e in spec:
+        out[s] = f"{t}-B"
+        for i in range(s + 1, e):
+            out[i] = f"{t}-I"
+    return out
+
+
+EDGE_ROWS = [
+    # len-1 span mid-sequence, len-1 span at END of sequence
+    ("r0", _labels([("IMPORT", 2, 3), ("CALL", 7, 8)], 8)),
+    # span at position 0 (never occurs in the grammar corpus) + to seq end
+    ("r1", _labels([("FUNC", 0, 3), ("CLASS", 5, 9)], 9)),
+    # ADJACENT spans, same and different type (cross-type I→B bigrams)
+    ("r2", _labels([("FUNC", 1, 4), ("CALL", 4, 7), ("CALL", 7, 10)], 11)),
+    # no spans at all
+    ("r3", ["O"] * 6),
+    # len-2 span (I→I count is zero for it)
+    ("r4", _labels([("CLASS", 3, 5)], 7)),
+]
+
+# malformed gold (I after O) is featurized with bio_to_spans chunk
+# semantics but is INCONSISTENT training data (the emission model marks the
+# chunk start, gold insists on I) — the perceptron rightly never converges
+# on it, so it's pinned in the featurizer test only
+MALFORMED_ROW = ("r5", ["O", "IMPORT-I", "IMPORT-I", "O"])
+
+
+def test_featurizer_matches_bio_to_spans():
+    """Vectorized span extraction ≡ functions/bio.bio_to_spans on every
+    edge row, including the malformed I-after-O start."""
+    from knowledgeextraction_ray.functions.bio import bio_to_spans
+    rows = EDGE_ROWS + [MALFORMED_ROW]
+    f = featurize_crf_batch(_records(rows)).to_pydict()
+    types = [lab[:-2] for lab in LABEL_LIST if lab.endswith("-B")]
+    for i, (_, ls) in enumerate(rows):
+        want = bio_to_spans(ls)
+        got = [(types[t], s, e) for s, e, t in
+               zip(f["sp_s"][i], f["sp_e"][i], f["sp_t"][i])]
+        assert got == want, (i, got, want)
+        assert f["gold"][i] == [LABEL2ID[l] for l in ls]
+
+
+def test_train_converges_and_learns_bio_on_edges(ray_session):
+    """One epoch of sign updates makes decode ≡ gold even on adjacent
+    spans, boundary spans, and len-1 spans; epoch metrics reflect it; the
+    learned matrix separates B→I from B→B on every trained type."""
+    train = rd.from_arrow(_records(EDGE_ROWS))
+    dev = rd.from_arrow(_records(EDGE_ROWS))      # eval on the same set
+    metrics, T = train_crf_transitions(train, dev, epochs=3, with_nll=True)
+    assert metrics["epoch"].tolist() == [0, 1, 2]
+    assert metrics.loc[0, "mismatch_chars"] > 0
+    assert (metrics.loc[1:, "mismatch_chars"] == 0).all()
+    assert (metrics.loc[1:, "delta_l1"] == 0).all()
+    assert metrics.loc[1, "f1_e6"] == 10**6
+    assert metrics["is_best"].tolist() == [0, 1, 0]
+    # NLL improves once transitions are learned (crf_log_likelihood analog)
+    assert metrics.loc[1, "train_nll"] < metrics.loc[0, "train_nll"]
+    # T1 == T2, so epoch 2's NLL re-measures the same model (float partials
+    # may merge in a different block order → tolerance, not equality)
+    assert np.isclose(metrics.loc[1, "train_nll"],
+                      metrics.loc[2, "train_nll"])
+    # types with an n>=2 train span learn the continuation cell; IMPORT has
+    # only len-1 spans here, so its cells rightly stay 0 (nothing to learn —
+    # the documented per-type-coverage assumption of the closed form)
+    for typ in ("CLASS", "FUNC", "CALL"):
+        b, i = LABEL2ID[f"{typ}-B"], LABEL2ID[f"{typ}-I"]
+        assert T[b, i] > T[b, b], typ
+    ib = LABEL2ID["IMPORT-B"]
+    assert T[ib, LABEL2ID["IMPORT-I"]] == 0 and T[ib, ib] == 0
+    tf = transitions_frame(T)
+    assert len(tf) == NUM_LABELS * NUM_LABELS
+    # cross-type adjacency learned: CALL-I → CALL-B beats CALL-B → CALL-B
+    assert T[LABEL2ID["FUNC-I"], LABEL2ID["CALL-B"]] >= 0
+
+
+def test_epoch0_decode_is_perchar_argmax(ray_session):
+    """With zero transitions, batch Viterbi over the continuation-blind
+    emissions tags every span char B (argmax, first-index tie-break) — the
+    closed form the SQL oracle's epoch-0 row is built on."""
+    f = featurize_crf_batch(_records(EDGE_ROWS))
+    gold, lens, _, spans, Lmax = _padded(f)
+    em = build_emissions(lens, spans, Lmax)
+    dec = viterbi_payload(em, lens, np.zeros((NUM_LABELS, NUM_LABELS)))
+    expect = em.argmax(axis=2).astype(np.int8)
+    mask = np.arange(Lmax)[None, :] < lens[:, None]
+    assert (dec[mask] == expect[mask]).all()
+    # every span char decodes to the B label of its type
+    r, s, t = spans["row"], spans["sp_s"], spans["sp_t"]
+    for k in range(len(r)):
+        for p in range(int(s[k]), int(spans["sp_e"][k])):
+            assert dec[r[k], p] == 1 + 2 * t[k]
+
+
+# brute-forced so each record's content-keyed split bucket lands where the
+# shape is needed (train < 90, dev in [90, 93)) — see md5(sha256:0) % 100
+EDGE_CORPUS = [
+    ("import x\nrest of line 0", "train len-1 span mid-text"),
+    ("import x\nrest of line 26", "dev len-1 span mid-text"),
+    ("pad 0\nimport tail", "train span at content end (hn=0)"),
+    ("pad 6\nimport tail", "dev span at content end"),
+    # fnq is n=3 deliberately: a dev span of length ≥3 needs the type's
+    # I→I cell TAUGHT by train (Σ(n−2) > 0) or epoch-1 decode alternates
+    # B-I-B-I through the untaught cell — the per-cell coverage assumption
+    ("import abc0\nclass Bc:\ndef fnq(x):\nq = call(z)\n",
+     "train n>=2 spans of all four types (FUNC/IMPORT/CALL at n>=3)"),
+    ("import abc5\nclass Bc:\ndef fnq(x):\nq = call(z)\n",
+     "dev n>=2 spans of all four types"),
+    ("import ab\nfiller 0", "train len-2 span"),
+    ("plain text with no grammar 0", "train no-span doc"),
+    ("plain text with no grammar 48", "dev no-span doc"),
+    ("def devfn44(y):\nmore", "dev n>=3 FUNC span"),
+]
+
+
+def test_crf_oracle_parity_edge_corpus(ray_session, tmp_path):
+    """The closed-form SQL oracle holds beyond the generated corpus: len-1
+    spans (in train AND dev — exercising the n==1 correct-chunk term),
+    spans ending at the segment boundary (hn=0), len-2 spans, and no-span
+    docs — real trainer ≡ oracle on a hand-built corpus parquet, value-
+    compared the driver way."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from knowledgeextraction_ray.compare import compare
+    from knowledgeextraction_ray.oracle import (sql_crf_train_run,
+                                                sql_crf_transitions)
+    from knowledgeextraction_ray.pipelines.prep import (prep_pipeline,
+                                                        split_bucket)
+    from knowledgeextraction_ray.pipelines.queries import docs_from_corpus
+
+    # preconditions: the brute-forced contents still land in their buckets
+    buckets = {}
+    for content, note in EDGE_CORPUS:
+        sha = hashlib.sha256(content.encode()).hexdigest()
+        buckets[note] = split_bucket(f"{sha}:0")
+    for note, b in buckets.items():
+        if note.startswith("train"):
+            assert b < 90, (note, b)
+        else:
+            assert 90 <= b < 93, (note, b)
+
+    tbl = pa.table({
+        "repo": [f"edge/r{i}" for i in range(len(EDGE_CORPUS))],
+        "path": [f"f{i}.py" for i in range(len(EDGE_CORPUS))],
+        "content": [c for c, _ in EDGE_CORPUS],
+    })
+    pq.write_table(tbl, tmp_path / "edge.parquet")
+    docs = rd.from_arrow(tbl).map_batches(docs_from_corpus,
+                                          batch_format="pyarrow")
+    train, dev, _ = prep_pipeline(docs)
+    metrics, T = train_crf_transitions(train, dev)
+    corpus = str(tmp_path / "edge.parquet")
+    ok, msg = compare(metrics.drop(columns=["train_nll"]),
+                      sql_crf_train_run("unused", corpus=corpus))
+    assert ok, msg
+    ok, msg = compare(transitions_frame(T),
+                      sql_crf_transitions("unused", corpus=corpus))
+    assert ok, msg
+    # the planted shapes really showed up: dev has a correct len-1 chunk at
+    # epoch 0, and training still converges by epoch 1
+    assert metrics.loc[0, "correct_chunks"] >= 1
+    assert metrics.loc[1, "f1_e6"] == 10**6
