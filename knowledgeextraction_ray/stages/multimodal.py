@@ -5,9 +5,10 @@ feature-extract / resize / frame-sample run as actor-pool ``map_batches``
 stages with SMALL batch sizes (payloads are large — batch_size × payload ×
 concurrency must fit worker heap; SURVEY.md "memory-aware").
 
-No codec LIBRARIES ship in this container, but two real formats decode
+No codec LIBRARIES ship in this container, but three real formats decode
 natively via pure-stdlib codecs: PNG (``functions/png.py``, zlib + spec
-filters) and WAV (``functions/wav.py``, RIFF/PCM). Other formats are
+filters), WAV (``functions/wav.py``, RIFF/PCM) and Y4M video
+(``functions/y4m.py``, YUV4MPEG2 raw planar frames). Other formats are
 STUBBED: the stages raise ``NotImplementedError`` unless ``fake=True``, in
 which case a deterministic fake decoder (seeded from the payload hash)
 produces shaped numpy output. The Ray-side plumbing — schema, actor
@@ -64,15 +65,21 @@ class DecodeImage:
 
     def _decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
         from ..functions.png import decode_png, is_png
+        from ..functions.y4m import decode_y4m, is_y4m
         if is_png(payload):
             img = decode_png(payload)
             if img.shape[2] == 1:                 # grayscale → 3-channel
                 img = np.repeat(img, 3, axis=2)
             return img[:, :, :3]                  # drop alpha for stats
+        if is_y4m(payload):
+            # single-frame Y4M (SampleFrames output): luma as grayscale —
+            # the video path composes sample_frames → decode_images real
+            frames, _meta = decode_y4m(payload)
+            return np.repeat(frames[0][0][:, :, None], 3, axis=2)
         if not self.fake:
             raise NotImplementedError(
                 "non-PNG image codec not available in this environment; "
-                "integrate PIL/cv2 here (PNG decodes natively)")
+                "integrate PIL/cv2 here (PNG and Y4M decode natively)")
         seed = int.from_bytes(sha256(payload).digest()[:4], "big")
         rs = np.random.RandomState(seed)
         return rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -143,19 +150,33 @@ class AudioFeatures:
 
 
 class SampleFrames:
-    """Actor: video rows → exploded frame rows (every k-th frame index).
+    """Actor: video rows → exploded frame rows (every k-th frame).
 
-    Frame extraction itself is the stubbed decode; the fan-out bookkeeping
-    (one video row → n frame rows with frame_index) is the real plumbing."""
+    Y4M payloads sample FOR REAL (r4): ``functions/y4m.py`` is a
+    pure-stdlib YUV4MPEG2 codec, and each sampled frame is re-emitted as a
+    STANDALONE single-frame Y4M payload (stream header + that frame's
+    bytes — pointer arithmetic, only selected frames are copied), so the
+    frame rows feed ``DecodeImage`` directly and the video path composes
+    end-to-end decoded. Other containers (mp4/webm): the fan-out
+    bookkeeping (one video row → n frame rows via ``meta_n_frames``, whole
+    payload carried) is the real plumbing; frame extraction there is the
+    ffmpeg integration point."""
 
     def __init__(self, every_k: int = 4):
         self.k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.y4m import is_y4m, sample_frame_payloads
         out = {"media_id": [], "frame_index": [], "payload": []}
         for mid, payload, n in zip(batch["media_id"].to_pylist(),
                                    batch["payload"].to_pylist(),
                                    batch["meta_n_frames"].to_pylist()):
+            if is_y4m(payload):
+                for fi, frame in sample_frame_payloads(payload, self.k):
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(fi)
+                    out["payload"].append(frame)
+                continue
             for fi in range(0, n, self.k):
                 out["media_id"].append(mid)
                 out["frame_index"].append(fi)
