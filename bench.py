@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     # alignment workload)
     "mrc_token_answers",
     "mrc_token_answers_sp",
+    # the train path (r4): full 3-epoch perceptron transition learning —
+    # featurize + 3× (train pass + dev eval) over ~102k segments at sf0.1
+    "crf_train_run",
 ]
 
 

@@ -1242,4 +1242,7 @@ KG_ORACLES = {
     "mrc_token_answers_sp": sql_mrc_token_answers_sp,
     "crf_train_run": sql_crf_train_run,
     "crf_transitions": sql_crf_transitions,
+    # train → serve: Viterbi inference with the LEARNED matrix must equal
+    # the hand-coded-constraint decode on margin-dominated emissions
+    "ner_predictions_trained": sql_ner_predictions,
 }

@@ -979,6 +979,45 @@ def q_ner_predictions(sf_dir: str):
 KG_QUERIES["ner_predictions"] = q_ner_predictions
 
 
+def q_ner_predictions_trained(sf_dir: str):
+    """The TRAIN → SERVE cycle closed end-to-end (reference: trained
+    ``transition_params`` feed ``crf_decode`` at inference,
+    ``crf_albert.py:147-168``): learn the transition matrix with the
+    perceptron loop, then run Viterbi inference with the LEARNED matrix
+    instead of the hand-coded BIO constraints. Gated by the SAME oracle as
+    ``ner_predictions`` — the learned ±1 weights must not perturb decode
+    on margin-dominated emissions (margins ≥ 5 > any 2-transition swing),
+    so any training defect that produces an out-of-family matrix fails
+    the hash."""
+    import pyarrow as pa
+
+    from ..config import ScorerConfig
+    from ..stages.crf_train import train_crf_transitions
+    from ..stages.ner_scorer import LABEL_LIST, score_dataset
+    from ..stages.segmenter import segment_dataset
+    from .kg import read_corpus
+
+    train, dev, _ = _tagger_splits(sf_dir)
+    _metrics, T = train_crf_transitions(train, dev)
+    cfg = PipelineConfig()
+    scorer_cfg = ScorerConfig(decode="viterbi")
+    scored = score_dataset(segment_dataset(read_corpus(sf_dir), cfg.segment),
+                           scorer_cfg, cfg.segment, transitions=T)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        tag_ids = batch["tag_ids"].to_pylist()
+        tags = [",".join(LABEL_LIST[i] for i in ids) for ids in tag_ids]
+        return pa.Table.from_pydict({
+            "guid": batch["guid"],
+            "text": batch["text"],
+            "tags": pa.array(tags, pa.string()),
+        })
+    return scored.map_batches(fmt, batch_format="pyarrow")
+
+
+KG_QUERIES["ner_predictions_trained"] = q_ner_predictions_trained
+
+
 def q_doc_dedup_keep(sf_dir: str):
     """Near-dedup keep/drop decision per doc (LSH → verify → connected
     components, min-id representative). Per-doc assignment is a distributed

@@ -197,22 +197,54 @@ def _eval_partial(batch: pa.Table, trans: np.ndarray) -> pa.Table:
         {k: pa.array([v], pa.int64()) for k, v in cc.as_row().items()})
 
 
+def _load_ckpt(resume_dir: str) -> list:
+    """Per-epoch checkpoint entries ``[{row, T_after}]`` (possibly [])."""
+    import json
+    import os
+    path = os.path.join(resume_dir, "crf_train_state.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)["epochs"]
+
+
+def _save_ckpt(resume_dir: str, entries: list) -> None:
+    import json
+    import os
+    os.makedirs(resume_dir, exist_ok=True)
+    path = os.path.join(resume_dir, "crf_train_state.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epochs": entries}, f)
+    os.replace(tmp, path)          # atomic: a killed run never half-writes
+
+
 def train_crf_transitions(train_ds, dev_ds, epochs: int = 3,
-                          with_nll: bool = False):
+                          with_nll: bool = False,
+                          resume_dir: str | None = None):
     """Run the perceptron training loop; returns (metrics DataFrame — one
     row per epoch, integer columns except ``train_nll`` — and the final
     (K, K) int64 transition matrix).
 
     Epoch e measures with ``T_e`` (train mismatch/delta AND dev eval), then
     updates ``T_{e+1} = T_e + sign(Σ delta_e)`` — mix-then-update, so the
-    result is independent of batch/block boundaries."""
+    result is independent of batch/block boundaries.
+
+    ``resume_dir``: the reference's per-step estimator checkpointing
+    (``run_crf_albert.py:229-241``) restated at epoch granularity — state
+    (epoch rows + T) is atomically written after every epoch, and a rerun
+    recomputes ONLY the remaining epochs. Because every epoch quantity is
+    integer-exact and block-layout independent, resumed ≡ fresh
+    bit-for-bit (test-pinned)."""
     feat_train = train_ds.map_batches(
         featurize_crf_batch, batch_format="pyarrow").materialize()
     feat_dev = dev_ds.map_batches(
         featurize_crf_batch, batch_format="pyarrow").materialize()
-    T = np.zeros((NUM_LABELS, NUM_LABELS), np.int64)
-    rows = []
-    for e in range(epochs):
+    entries = (_load_ckpt(resume_dir) if resume_dir else [])[:epochs]
+    rows = [dict(en["row"]) for en in entries]
+    T = np.asarray(entries[-1]["T_after"], dtype=np.int64) if entries \
+        else np.zeros((NUM_LABELS, NUM_LABELS), np.int64)
+    for e in range(len(rows), epochs):
         Te = T.copy()
         tp = feat_train.map_batches(
             lambda b, _T=Te: _train_partial(b, _T, with_nll),
@@ -238,6 +270,9 @@ def train_crf_transitions(train_ds, dev_ds, epochs: int = 3,
             "train_nll": float(tp["nll"].sum()),
         })
         T = T + np.sign(delta).astype(np.int64)
+        entries.append({"row": dict(rows[-1]), "T_after": T.tolist()})
+        if resume_dir:
+            _save_ckpt(resume_dir, entries)
     best = max(range(len(rows)), key=lambda i: (rows[i]["f1_e6"], -i))
     for i, r in enumerate(rows):
         r["is_best"] = 1 if i == best else 0

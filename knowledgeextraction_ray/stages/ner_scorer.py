@@ -270,11 +270,17 @@ class NerScorer:
     """
 
     def __init__(self, scorer_cfg: ScorerConfig | None = None,
-                 segment_cfg: SegmentConfig | None = None):
+                 segment_cfg: SegmentConfig | None = None,
+                 transitions=None):
         self.cfg = scorer_cfg or ScorerConfig()
         self.seg = segment_cfg or SegmentConfig()
         self.model = build_model(self.cfg)
-        self.transitions = bio_transitions()
+        # transitions override: deploy a LEARNED matrix (stages/crf_train)
+        # instead of the hand-coded BIO constraints — the reference's
+        # train → serve cycle (trained transition_params feed
+        # crf_decode at inference, crf_albert.py:147-168)
+        self.transitions = np.asarray(transitions, dtype=np.float32) \
+            if transitions is not None else bio_transitions()
 
     def _decode(self, logits: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
         if self.cfg.decode == "viterbi":
@@ -322,7 +328,8 @@ def featurize_dataset(ds, segment_cfg: SegmentConfig | None = None):
 
 
 def score_dataset(ds, scorer_cfg: ScorerConfig | None = None,
-                  segment_cfg: SegmentConfig | None = None):
+                  segment_cfg: SegmentConfig | None = None,
+                  transitions=None):
     cfg = scorer_cfg or ScorerConfig()
     # autoscaling pool (1, N): never pre-reserves every CPU — a fixed-size
     # pool that exactly matches the session CPUs starves the read/write
@@ -330,9 +337,14 @@ def score_dataset(ds, scorer_cfg: ScorerConfig | None = None,
     # cluster unless the config pins it.
     from ..runtime import pool_size
     n = cfg.concurrency if cfg.concurrency else pool_size(1.0)
+    kwargs = {"scorer_cfg": cfg, "segment_cfg": segment_cfg}
+    if transitions is not None:
+        # learned matrix (tiny, ships in the ctor args to every actor)
+        kwargs["transitions"] = np.asarray(transitions,
+                                           dtype=np.float32).tolist()
     return ds.map_batches(
         NerScorer,
-        fn_constructor_kwargs={"scorer_cfg": cfg, "segment_cfg": segment_cfg},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=(1, n),

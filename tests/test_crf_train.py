@@ -9,6 +9,7 @@ structured-perceptron epochs with iterative parameter mixing.
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -241,3 +242,45 @@ def test_crf_oracle_parity_edge_corpus(ray_session, tmp_path):
     # epoch 0, and training still converges by epoch 1
     assert metrics.loc[0, "correct_chunks"] >= 1
     assert metrics.loc[1, "f1_e6"] == 10**6
+
+
+def test_train_resume_equals_fresh(ray_session, tmp_path):
+    """Epoch checkpointing (the reference's estimator ckpt loop at epoch
+    granularity): run 2 epochs with a resume dir, rerun asking for 3 —
+    only epoch 2 recomputes, and the result is bit-for-bit the fresh
+    3-epoch run (every epoch quantity is integer-exact)."""
+    import json
+
+    train = rd.from_arrow(_records(EDGE_ROWS))
+    dev = rd.from_arrow(_records(EDGE_ROWS))
+    rdir = str(tmp_path / "ckpt")
+    m2, _ = train_crf_transitions(train, dev, epochs=2, resume_dir=rdir)
+    assert len(m2) == 2
+    state = json.load(open(tmp_path / "ckpt" / "crf_train_state.json"))
+    assert len(state["epochs"]) == 2
+    m3r, Tr = train_crf_transitions(train, dev, epochs=3, resume_dir=rdir)
+    m3f, Tf = train_crf_transitions(train, dev, epochs=3)
+    pd.testing.assert_frame_equal(m3r.drop(columns=["train_nll"]),
+                                  m3f.drop(columns=["train_nll"]))
+    assert (Tr == Tf).all()
+    # shrinking works too: epochs=1 from the 3-epoch checkpoint returns
+    # the epoch-0 state (T after the first update), nothing recomputed
+    m1, T1 = train_crf_transitions(train, dev, epochs=1, resume_dir=rdir)
+    assert len(m1) == 1 and m1.loc[0, "is_best"] == 1
+    assert (T1 == np.asarray(
+        json.load(open(tmp_path / "ckpt" / "crf_train_state.json"))
+        ["epochs"][0]["T_after"])).all()
+
+
+def test_trained_transitions_serve_equals_constraint_decode(corpus_ready):
+    """Train → serve: Viterbi inference with the LEARNED matrix equals the
+    hand-coded-BIO-constraint decode on the real corpus (margins ≥ 5 beat
+    any ±2 transition swing) — the invariant that lets
+    ner_predictions_trained share ner_predictions' SQL gate."""
+    from knowledgeextraction_ray.pipelines.queries import (
+        q_ner_predictions, q_ner_predictions_trained)
+    a = q_ner_predictions(corpus_ready).to_pandas() \
+        .sort_values("guid").reset_index(drop=True)
+    b = q_ner_predictions_trained(corpus_ready).to_pandas() \
+        .sort_values("guid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
