@@ -923,6 +923,27 @@ TABLE_ORACLES = {
     "part_type_stats": SQL_PART_TYPE_STATS,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "vocab_from_corpus": SQL_VOCAB_FROM_CORPUS,
+    "doc_length_quantiles": f"""
+with t as (
+  select 'chars' as field, cast(length(text) as bigint) as value
+  from documents
+  union all
+  select 'tokens', cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint)
+  from documents),
+h as (
+  select field, value, count(*) as n from t group by 1, 2),
+c as (
+  select field, value,
+         sum(n) over (partition by field order by value) as cum,
+         sum(n) over (partition by field) as total
+  from h)
+select c.field, cast(q.q_e3 as bigint) as q_e3,
+       cast(min(c.value) as bigint) as value,
+       cast(min(c.total) as bigint) as n_docs
+from c cross join (select unnest([500, 900, 990, 999]) as q_e3) q
+where c.cum >= (q.q_e3 * c.total + 999) // 1000
+group by 1, 2
+""",
     "doc_normalize": SQL_DOC_NORMALIZE,
     "doc_lang_distribution":
         "select lang, count(*) as n_docs from documents group by 1",

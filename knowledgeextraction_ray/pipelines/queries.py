@@ -1029,6 +1029,18 @@ def q_doc_dedup_keep(sf_dir: str):
 TABLE_QUERIES["doc_dedup_keep"] = q_doc_dedup_keep
 
 
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact corpus length quantiles (char + token) via histogram partials
+    — the cutoff-selection signal of a curation pipeline, one shuffle-free
+    pass (stages/text_analysis.length_quantiles)."""
+    from ..stages.text_analysis import length_quantiles
+    return length_quantiles(_docs(sf_dir, ["doc_id", "text"]))
+
+
+TABLE_QUERIES["doc_length_quantiles"] = q_doc_length_quantiles
+
+
+
 def build_queries() -> dict:
     """Full driver-facing query registry (grows as operators land)."""
     out = dict(KG_QUERIES)

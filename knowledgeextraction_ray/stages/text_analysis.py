@@ -429,3 +429,52 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
             out["max_line_freq"].to_numpy().astype(np.int64), pa.int64()),
         "dup_line_ppm": pa.array(dup_ppm.astype(np.int64), pa.int64()),
     })
+
+
+def length_histogram_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (field, value, n) histogram partial over per-doc lengths
+    (char count and ``TOKEN_RE`` token count) — the mergeable sufficient
+    statistic for EXACT corpus quantiles. Rows per partial ≤ distinct
+    lengths in the batch; the merged histogram is bounded by the max doc
+    length, not the corpus size, so the driver combine stays tiny at any
+    scale."""
+    nc = pc.cast(pc.utf8_length(batch["text"]), pa.int64()).to_numpy()
+    nt = _count(batch["text"], TOKEN_RE).to_numpy()
+    out = {"field": [], "value": [], "n": []}
+    for field, arr in (("chars", nc), ("tokens", nt)):
+        vals, cnt = np.unique(arr, return_counts=True)
+        out["field"].extend([field] * len(vals))
+        out["value"].extend(int(v) for v in vals)
+        out["n"].extend(int(c) for c in cnt)
+    return pa.Table.from_pydict({
+        "field": pa.array(out["field"], pa.string()),
+        "value": pa.array(out["value"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+def length_quantiles(ds, qs_e3=(500, 900, 990, 999)):
+    """Exact discrete length quantiles (curation cutoff signal): for each
+    field and q, the smallest length ``v`` whose cumulative doc count
+    reaches ``ceil(q·N/1000)`` — one shuffle-free streaming pass of
+    histogram partials, integer arithmetic throughout (SQL-exact).
+    Returns a pandas frame (field, q_e3, value, n_docs)."""
+    import pandas as pd
+    parts = ds.map_batches(length_histogram_partials,
+                           batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["field", "value"], as_index=False)["n"].sum()
+    rows = []
+    for field, g in agg.groupby("field"):
+        g = g.sort_values("value")
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["value"].to_numpy()
+        N = int(cum[-1]) if len(cum) else 0
+        for q in qs_e3:
+            thr = (q * N + 999) // 1000
+            idx = int(np.searchsorted(cum, thr))
+            rows.append({"field": field, "q_e3": int(q),
+                         "value": int(vals[idx]), "n_docs": N})
+    df = pd.DataFrame(rows)
+    for c in ("q_e3", "value", "n_docs"):
+        df[c] = df[c].astype("int64")
+    return df

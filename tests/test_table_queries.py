@@ -634,3 +634,22 @@ def test_seeded_shuffle_orders_and_reshuffles(sf_dir):
     got = dict(zip(e0["doc_id"], e0["shuffle_key"]))
     assert all(np.uint64(got[i]) == w
                for i, w in zip(sorted(ids0), want))
+
+
+def test_length_quantiles_ceil_semantics(ray_session):
+    """Quantile rule pinned by hand: value = smallest v with cumulative
+    count >= ceil(q*N/1000). N=4 docs with char lengths 1,2,3,4 -> p50
+    needs cum >= 2 -> 2; p90/p99/p999 need cum >= 4 -> 4."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgeextraction_ray.stages.text_analysis import length_quantiles
+    docs = pa.table({"doc_id": ["a", "b", "c", "d"],
+                     "text": ["x", "xy", "x y", "wx.z"]})
+    out = length_quantiles(rd.from_arrow(docs))
+    chars = out[out["field"] == "chars"].set_index("q_e3")["value"]
+    assert chars[500] == 2 and chars[900] == 4 and chars[999] == 4
+    toks = out[out["field"] == "tokens"].set_index("q_e3")["value"]
+    # token counts ([A-Za-z0-9_]+): 1,1,2,2 -> p50: cum>=2 at value 1
+    assert toks[500] == 1 and toks[900] == 2
+    assert (out["n_docs"] == 4).all()
