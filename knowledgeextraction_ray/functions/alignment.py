@@ -318,67 +318,105 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
     for f, dl in enumerate(d_last):
         capture.setdefault(int(dl), []).append(f)
 
+    # pre-reversed token matrix: the anti-diagonal's j indices DESCEND as i
+    # ascends, so the natural slice needs a [::-1] stride — comparing
+    # against tkr's contiguous mirror slice instead keeps the hot compare
+    # on unit stride (tkr[:, m_max-1-j] == tk[:, j])
+    tkr = tk[:, ::-1].copy()
+
+    # rolling buffers hold zeros OUTSIDE their last write window — zero
+    # only that window on reuse instead of the full (B, n_max+1) memset
+    # per diagonal (~n_max/band × the useful traffic)
+    win1 = win2 = winc = (0, 0)
+    two, three, four = np.int8(2), np.int8(3), np.int8(4)
     for d in range(D):
         i_lo_f, i_hi_f = ILO[d], IHI[d]
         gi_lo = int(GLO[d])
         gi_hi = int(GHI[d])
-        cur[:] = 0
+        cur[:, winc[0]:winc[1]] = 0
+        winc = (0, 0)
         if gi_lo <= gi_hi:
             gi = np.arange(gi_lo, gi_hi + 1)
             valid = (i_lo_f[:, None] <= gi) & (gi <= i_hi_f[:, None])
             up = fm1[:, gi_lo:gi_hi + 1]
-            left = fm1[:, gi_lo + 1:gi_hi + 2].copy()
-            diag = fm2[:, gi_lo:gi_hi + 1].copy()
-            if gi_hi == d:                     # the j == 0 element
+            if gi_hi == d:                     # the j == 0 element needs
+                left = fm1[:, gi_lo + 1:gi_hi + 2].copy()   # an edit —
+                diag = fm2[:, gi_lo:gi_hi + 1].copy()       # copy only then
                 left[:, -1] = 0
                 diag[:, -1] = 0
-            g = np.full((B, gi_hi - gi_lo + 1), 2, dtype=np.int8)
-            f0 = up.astype(np.int32)
-            if gi_lo == 0:                     # the i == 0 element
-                g[:, 0] = 1
+            else:
+                left = fm1[:, gi_lo + 1:gi_hi + 2]
+                diag = fm2[:, gi_lo:gi_hi + 1]
+            # anti-diagonal band slice: na[f, i] vs tk[f, d - i], read from
+            # the contiguous mirror
+            match = na[:, gi_lo:gi_hi + 1] == \
+                tkr[:, m_max - 1 - d + gi_lo:m_max - d + gi_hi]
+            if gi_lo == 0:                     # the i == 0 element: f0 = 0
+                f0 = up.astype(np.int32)       # (copy: column 0 edited)
                 f0[:, 0] = 0
+            else:
+                f0 = up                        # read-only — no copy
             use_l = left > f0
             f1 = np.where(use_l, left, f0)
-            g[use_l] = 3
-            # anti-diagonal band slice: na[f, i] vs tk[f, d - i]
-            match = na[:, gi_lo:gi_hi + 1] == \
-                tk[:, d - gi_hi:d - gi_lo + 1][:, ::-1]
             use_d = match & (diag + 1 > f1)
-            g[use_d] = 4
+            g = np.where(use_d, four, np.where(use_l, three, two))
+            if gi_lo == 0:                     # untaken i == 0 = break
+                g[:, 0] = np.where(use_d[:, 0], four,
+                                   np.where(use_l[:, 0], three, np.int8(1)))
             res = np.where(use_d, diag + 1, f1)
             cur[:, gi_lo + 1:gi_hi + 2] = np.where(valid, res, 0)
+            winc = (gi_lo + 1, gi_hi + 2)
             Gb[:, d, :gi_hi - gi_lo + 1] = np.where(valid, g, 0)
         for f in capture.get(d, ()):           # capture f[n-1, m-1]
             last[f] = cur[f, ns[f]]
         fm2, fm1, cur = fm1, cur, fm2
+        win2, win1, winc = win1, winc, win2
+
+    # backtrace, vectorized ACROSS FILES like the forward pass (the per-file
+    # Python walk measured as HALF the kernel): every eligible file steps
+    # its (i, j) cursor in lockstep — one gather from the banded choice
+    # matrix plus a handful of (B,) mask ops per step, ≤ D steps total
+    # because each live step decreases i + j by at least one. Move codes
+    # and the c <= 1 break are exactly the scalar walk's.
+    eligible = last > 0.8 * ns.astype(np.float64)
+    o2c = np.full((B, n_max), -1, dtype=np.int32)
+    c2o = np.full((B, m_max), -1, dtype=np.int32)
+    bidx = np.arange(B)
+    ii = ns - 1
+    jj = ms - 1
+    active = eligible & (ii >= 0) & (jj >= 0)
+    while active.any():
+        d = np.where(active, ii + jj, 0)
+        off = np.where(active, ii - GLO[d], 0)
+        inb = (off >= 0) & (off < W)
+        c = Gb[bidx, d, np.where(inb, off, 0)]
+        live = active & inb & (c > 1)          # untouched / explicit break
+        m4 = live & (c == 4)
+        if m4.any():
+            f4 = np.nonzero(m4)[0]
+            o2c[f4, ii[f4]] = jj[f4]
+            c2o[f4, jj[f4]] = ii[f4]
+        ii = ii - (m4 | (live & (c == 2)))
+        jj = jj - (m4 | (live & (c == 3)))
+        active = live & (ii >= 0) & (jj >= 0)
 
     results = []
     for f in range(B):
-        n, m = int(ns[f]), int(ms[f])
-        if not last[f] > 0.8 * n:
+        if not eligible[f]:
             results.append("fallback")
+            continue
+        n, m = int(ns[f]), int(ms[f])
+        row = o2c[f, :n]
+        hits = np.nonzero(row >= 0)[0]
+        if hits.size == 0:
+            results.append(None)
             continue
         orig_to_chartok: list = [None] * n
         chartok_to_orig: list = [None] * m
-        Gf = Gb[f]
-        i, j = n - 1, m - 1
-        while i >= 0 and j >= 0:
-            off = i - GLO[i + j]
-            c = Gf[i + j, off] if 0 <= off < W else 0
-            if c <= 1:                         # untouched / explicit break
-                break
-            if c == 4:
-                orig_to_chartok[i] = j
-                chartok_to_orig[j] = i
-                i, j = i - 1, j - 1
-            elif c == 3:
-                j -= 1
-            else:
-                i -= 1
-        if all(v is None for v in orig_to_chartok):
-            results.append(None)
-        else:
-            results.append((orig_to_chartok, chartok_to_orig))
+        for i_, j_ in zip(hits.tolist(), row[hits].tolist()):
+            orig_to_chartok[i_] = j_
+            chartok_to_orig[j_] = i_
+        results.append((orig_to_chartok, chartok_to_orig))
     return results
 
 
