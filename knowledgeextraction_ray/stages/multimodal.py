@@ -52,18 +52,22 @@ def make_fake_media(n: int, kind: str = "image", seed: int = 23) -> pa.Table:
 class DecodeImage:
     """Actor: binary payload → decoded pixel stats + thumbnail feature.
 
-    PNG payloads decode FOR REAL (r4): ``functions/png.py`` is a
-    pure-stdlib codec (zlib + PNG filters 0-4 from the public spec), so one
-    real format flows payload → pixels → features end-to-end. Other
-    formats: pass ``fake=True`` for the deterministic stand-in
-    (payload-hash-seeded pixels), else NotImplementedError marks the
-    PIL/cv2 integration point for codecs this container lacks."""
+    PNG and GIF payloads decode FOR REAL (r4): ``functions/png.py``
+    (zlib + PNG filters 0-4) and ``functions/gif.py`` (LZW, interlace,
+    GCE transparency — decoder pinned against the public spec
+    walkthrough's externally-encoded sample stream), both pure-stdlib
+    from the public specs, so two real formats flow payload → pixels →
+    features end-to-end. Other formats: pass ``fake=True`` for the
+    deterministic stand-in (payload-hash-seeded pixels), else
+    NotImplementedError marks the PIL/cv2 integration point for codecs
+    this container lacks."""
 
     def __init__(self, fake: bool = False, thumb: int = 8):
         self.fake = fake
         self.thumb = thumb
 
     def _decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        from ..functions.gif import decode_gif, is_gif
         from ..functions.png import decode_png, is_png
         from ..functions.y4m import decode_y4m, is_y4m
         if is_png(payload):
@@ -71,6 +75,8 @@ class DecodeImage:
             if img.shape[2] == 1:                 # grayscale → 3-channel
                 img = np.repeat(img, 3, axis=2)
             return img[:, :, :3]                  # drop alpha for stats
+        if is_gif(payload):
+            return decode_gif(payload)            # first frame, RGB canvas
         if is_y4m(payload):
             # single-frame Y4M (SampleFrames output): luma as grayscale —
             # the video path composes sample_frames → decode_images real

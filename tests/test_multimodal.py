@@ -344,3 +344,109 @@ def test_sample_frames_real_y4m_and_compose_with_decode():
     dec = DecodeImage(fake=False)(fb)
     for i, fi in enumerate(out["frame_index"]):
         assert dec["pixel_mean"][i].as_py() == float(frames[fi][0].mean())
+
+
+# --------------------------------------------------------------------------
+# GIF codec (r4 late: second real image format, functions/gif.py)
+# --------------------------------------------------------------------------
+
+def test_gif_codec_roundtrip_and_interlace():
+    """encode→decode identity for several shapes/palettes, plain and
+    interlaced (the 4-pass row order must invert exactly), and 12-bit
+    table growth (a 256-color image forces LZW width to climb)."""
+    from knowledgeextraction_ray.functions.gif import decode_gif, encode_gif
+    rs = np.random.RandomState(3)
+    for shape in ((1, 1), (3, 2), (16, 16), (37, 23)):
+        img = (rs.randint(0, 6, shape + (3,)) * 40).astype(np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+        assert np.array_equal(
+            decode_gif(encode_gif(img, interlace=True)), img)
+    wide = rs.randint(0, 256, (64, 64, 1)).astype(np.uint8).repeat(3, axis=2)
+    assert np.array_equal(decode_gif(encode_gif(wide)), wide)
+
+
+def test_gif_lzw_matches_spec_walkthrough():
+    """EXTERNAL pin: the public GIF89a spec walkthrough's worked example —
+    a 10×10 image whose LZW byte stream was encoded by hand in the spec
+    tutorial, NOT by this module's encoder — must decode to its documented
+    index pattern, wrapped in a hand-assembled GIF container."""
+    import struct
+
+    from knowledgeextraction_ray.functions.gif import (_lzw_decode,
+                                                       decode_gif)
+    data = bytes([0x8C, 0x2D, 0x99, 0x87, 0x2A, 0x1C, 0xDC, 0x33, 0xA0,
+                  0x02, 0x75, 0xEC, 0x95, 0xFA, 0xA8, 0xDE, 0x60, 0x8C,
+                  0x04, 0x91, 0x4C, 0x01])
+    idx = _lzw_decode(data, 2, 100).reshape(10, 10)
+    want = np.array([[1] * 5 + [2] * 5] * 3 +
+                    [[1] * 3 + [0] * 4 + [2] * 3] * 2 +
+                    [[2] * 3 + [0] * 4 + [1] * 3] * 2 +
+                    [[2] * 5 + [1] * 5] * 3)
+    assert np.array_equal(idx, want)
+    # container: 10x10 screen, 4-color GCT (white, red, blue, black)
+    gct = bytes([255, 255, 255, 255, 0, 0, 0, 0, 255, 0, 0, 0])
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 10, 10, 0x81, 0, 0) + gct +
+           struct.pack("<BHHHHB", 0x2C, 0, 0, 10, 10, 0) + bytes([2]) +
+           bytes([len(data)]) + data + bytes([0, 0x3B]))
+    img = decode_gif(gif)
+    colors = np.array([[255, 255, 255], [255, 0, 0], [0, 0, 255]])
+    assert np.array_equal(img, colors[want])
+
+
+def test_gif_transparency_and_offset_composite():
+    """A frame smaller than the logical screen with a GCE-transparent
+    index composites onto the background color, offset honored."""
+    import struct
+
+    from knowledgeextraction_ray.functions.gif import _lzw_encode, decode_gif
+    # 2x2 frame at (1,1) on a 4x3 screen; index 3 transparent, bg = 0
+    frame = np.array([[1, 3], [3, 2]], np.uint8)
+    gct = bytes([10, 10, 10, 255, 0, 0, 0, 255, 0, 0, 0, 0])
+    lzw = _lzw_encode(frame.ravel(), 2)
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 4, 3, 0x81, 0, 0) + gct +
+           bytes([0x21, 0xF9, 4, 0x01, 0, 0, 3, 0]) +      # GCE: transp=3
+           struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0) + bytes([2]) +
+           bytes([len(lzw)]) + lzw + bytes([0, 0x3B]))
+    img = decode_gif(gif)
+    bg = [10, 10, 10]
+    assert np.array_equal(img[0], [bg, bg, bg, bg])           # above frame
+    assert np.array_equal(img[1, 1], [255, 0, 0])             # index 1
+    assert np.array_equal(img[1, 2], bg)                      # transparent
+    assert np.array_equal(img[2, 1], bg)                      # transparent
+    assert np.array_equal(img[2, 2], [0, 255, 0])             # index 2
+
+
+def test_gif_codec_rejects_corruption():
+    from knowledgeextraction_ray.functions.gif import decode_gif, encode_gif
+    img = (np.arange(48).reshape(4, 4, 3) * 5).astype(np.uint8)
+    good = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])                    # truncated
+    with pytest.raises(ValueError):
+        decode_gif(good[:6] + good[6:].replace(b"\x2C", b"\x7C", 1))
+    # image-less GIF (header straight to trailer)
+    import struct
+    empty = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0) + b"\x3B")
+    with pytest.raises(ValueError):
+        decode_gif(empty)
+
+
+def test_decode_image_real_gif():
+    """DecodeImage(fake=False) runs REAL GIF decode: payload → pixels →
+    features with no fake anywhere, alongside the PNG path."""
+    from knowledgeextraction_ray.functions.gif import encode_gif
+    img = _gradient()[:, :, :3].copy()
+    img = (img // 32) * 32                       # ≤ 256 distinct colors
+    payload = encode_gif(img)
+    batch = pa.table({
+        "media_id": ["gif-0"], "kind": ["image"], "payload": [payload],
+        "meta_width": pa.array([32], pa.int32()),
+        "meta_height": pa.array([24], pa.int32()),
+        "meta_sample_rate": pa.array([0], pa.int32()),
+        "meta_n_frames": pa.array([0], pa.int32()),
+    })
+    out = DecodeImage(fake=False)(batch)
+    assert out["pixel_mean"][0].as_py() == float(img.mean())
+    assert len(out["thumbnail"][0].as_py()) == 64
