@@ -885,7 +885,35 @@ select doc_id, term, tf, df, score_e6, cast(rnk as bigint) as rank
 from ranked where rnk <= 5
 """
 
+# the multimodal codec gate (late r4): closed form of the formula images
+# that q_media_decode_stats encodes (PNG even ids / GIF odd ids) and
+# decodes through the real codecs — stages/multimodal.synth_media_batch
+# holds the same constants
+SQL_MEDIA_DECODE_STATS = """
+with xs as (select x from range(16) t(x)),
+     ys as (select y from range(12) t(y)),
+     cs as (select c from range(3) t(c)),
+     png as (
+       select d.doc_id, 'png' as codec,
+              cast(sum((7*x + 13*y + 29*c + 31*(d.doc_id % 97)) % 256)
+                   as bigint) as pixel_sum,
+              cast(576 as bigint) as n_px
+       from documents d cross join xs cross join ys cross join cs
+       where d.doc_id % 2 = 0 group by d.doc_id),
+     gif as (
+       select d.doc_id, 'gif' as codec,
+              cast(3 * sum((11*x + 17*y + 23*(d.doc_id % 89)) % 256)
+                   as bigint) as pixel_sum,
+              cast(576 as bigint) as n_px
+       from documents d cross join xs cross join ys
+       where d.doc_id % 2 = 1 group by d.doc_id)
+select doc_id, codec, pixel_sum, n_px from png
+union all
+select doc_id, codec, pixel_sum, n_px from gif
+"""
+
 TABLE_ORACLES = {
+    "media_decode_stats": SQL_MEDIA_DECODE_STATS,
     "doc_tfidf": SQL_DOC_TFIDF,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "events_asof": SQL_EVENTS_ASOF,

@@ -789,10 +789,24 @@ def q_top_orders_per_customer(sf_dir: str):
     return top_orders_per_customer(sf_dir)
 
 
+def q_media_decode_stats(sf_dir: str):
+    """The multimodal codec path, VALUE-HASH GATED (late r4): every
+    document becomes a deterministic formula image (even doc_id →
+    truecolor PNG, odd → grayscale GIF), container-encoded, then decoded
+    through the production ``DecodeImage`` dispatch (real pure-stdlib
+    codecs, no fake path) into integer pixel sums. The formulas give the
+    decoded sums a closed form DuckDB restates exactly, so one
+    mis-decoded pixel anywhere — LZW, PNG filters, interlace, palette —
+    fails the hash."""
+    from ..stages.multimodal import media_decode_stats
+    return media_decode_stats(_docs(sf_dir, ["doc_id"]))
+
+
 TABLE_QUERIES["doc_lang_distribution"] = q_doc_lang_distribution
 TABLE_QUERIES["kg_triples_by_repo"] = q_kg_triples_by_repo
 TABLE_QUERIES["events_sliding_window"] = q_events_sliding_window
 TABLE_QUERIES["top_orders_per_customer"] = q_top_orders_per_customer
+TABLE_QUERIES["media_decode_stats"] = q_media_decode_stats
 
 TABLE_QUERIES["knn_lsh"] = q_knn_lsh
 TABLE_QUERIES["doc_simhash"] = q_doc_simhash

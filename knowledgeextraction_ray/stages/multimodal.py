@@ -208,3 +208,79 @@ def sample_frames(ds, every_k: int = 4, batch_size: int = 32,
                           fn_constructor_kwargs={"every_k": every_k},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# SQL-gatable multimodal pipeline (late r4): deterministic formula images
+# through the REAL codecs, integer decode stats
+# --------------------------------------------------------------------------
+
+IMG_W, IMG_H = 16, 12
+
+
+def synth_media_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → one deterministic formula image, container-encoded: even
+    ids as truecolor PNG (`v(x,y,c) = (7x+13y+29c+31·(id%97)) mod 256`),
+    odd ids as grayscale GIF (`g(x,y) = (11x+17y+23·(id%89)) mod 256`,
+    ≤256 distinct colors as GIF requires). The formulas are the point:
+    the decoded pixel SUM has a closed form DuckDB can restate, so the
+    codec path is value-hash gatable — a single mis-decoded pixel
+    anywhere fails the gate."""
+    from ..functions.gif import encode_gif
+    from ..functions.png import encode_png
+    X, Y = np.meshgrid(np.arange(IMG_W), np.arange(IMG_H))
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for doc_id in batch["doc_id"].to_pylist():
+        if doc_id % 2 == 0:
+            img = np.stack([(7 * X + 13 * Y + 29 * ch + 31 * (doc_id % 97))
+                            % 256 for ch in range(3)],
+                           axis=2).astype(np.uint8)
+            payload = encode_png(img)
+        else:
+            g = ((11 * X + 17 * Y + 23 * (doc_id % 89)) % 256)
+            payload = encode_gif(np.repeat(g[:, :, None], 3,
+                                           axis=2).astype(np.uint8))
+        rows["media_id"].append(str(doc_id))
+        rows["kind"].append("image")
+        rows["payload"].append(payload)
+        rows["meta_width"].append(IMG_W)
+        rows["meta_height"].append(IMG_H)
+        rows["meta_sample_rate"].append(0)
+        rows["meta_n_frames"].append(0)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaDecodeStats:
+    """Actor: payload → integer pixel stats through the PRODUCTION decode
+    dispatch (``DecodeImage._decode_one``, fake=False — real codecs only).
+    Integer sums, not float means, so the gate is arithmetic-order-proof."""
+
+    def __init__(self):
+        self._dec = DecodeImage(fake=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.gif import is_gif
+        from ..functions.png import is_png
+        ids, codecs, sums = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = self._dec._decode_one(payload, 0, 0)
+            ids.append(int(mid))
+            codecs.append("png" if is_png(payload)
+                          else "gif" if is_gif(payload) else "other")
+            sums.append(int(img.astype(np.int64).sum()))
+        n = IMG_H * IMG_W * 3
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "codec": pa.array(codecs, pa.string()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "n_px": pa.array([n] * len(ids), pa.int64()),
+        })
+
+
+def media_decode_stats(docs_ds, batch_size: int = 64, concurrency=(1, 4)):
+    """documents(doc_id) → encode (tasks) → real-codec decode stats
+    (actor pool, small batches — binary payloads)."""
+    media = docs_ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    return media.map_batches(MediaDecodeStats, batch_format="pyarrow",
+                             batch_size=batch_size, concurrency=concurrency)
