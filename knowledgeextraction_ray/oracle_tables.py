@@ -912,8 +912,32 @@ union all
 select doc_id, codec, pixel_sum, n_px from gif
 """
 
+SQL_MEDIA_AUDIO_STATS = """
+with ts as (select t from range(1024) t(t))
+select d.doc_id,
+       cast(sum(((13*t + 37*(d.doc_id % 101)) % 65536) - 32768
+              + ((29*t + 53*(d.doc_id % 103)) % 65536) - 32768)
+            as bigint) as sample_sum,
+       cast(1024 as bigint) as n_samples
+from documents d cross join ts
+group by d.doc_id
+"""
+
+SQL_MEDIA_VIDEO_STATS = """
+with xs as (select x from range(16) t(x)),
+     ys as (select y from range(12) t(y)),
+     fs as (select f from range(8) t(f) where f % 3 = 0)
+select d.doc_id, cast(f as bigint) as frame_index,
+       cast(3 * sum((5*x + 9*y + 11*f + 17*(d.doc_id % 73)) % 256)
+            as bigint) as pixel_sum
+from documents d cross join fs cross join xs cross join ys
+group by d.doc_id, f
+"""
+
 TABLE_ORACLES = {
     "media_decode_stats": SQL_MEDIA_DECODE_STATS,
+    "media_audio_stats": SQL_MEDIA_AUDIO_STATS,
+    "media_video_stats": SQL_MEDIA_VIDEO_STATS,
     "doc_tfidf": SQL_DOC_TFIDF,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "events_asof": SQL_EVENTS_ASOF,

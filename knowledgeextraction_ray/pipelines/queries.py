@@ -806,7 +806,28 @@ TABLE_QUERIES["doc_lang_distribution"] = q_doc_lang_distribution
 TABLE_QUERIES["kg_triples_by_repo"] = q_kg_triples_by_repo
 TABLE_QUERIES["events_sliding_window"] = q_events_sliding_window
 TABLE_QUERIES["top_orders_per_customer"] = q_top_orders_per_customer
+def q_media_audio_stats(sf_dir: str):
+    """The audio codec path, value-hash gated: deterministic 2-channel
+    PCM16 formula waveforms, WAV-encoded, decoded through the production
+    ``AudioFeatures`` dispatch (real RIFF/PCM codec + mono mixdown) into
+    exact channel-sum integers with a DuckDB closed form."""
+    from ..stages.multimodal import media_audio_stats
+    return media_audio_stats(_docs(sf_dir, ["doc_id"]))
+
+
+def q_media_video_stats(sf_dir: str):
+    """The video path, value-hash gated end-to-end: deterministic 8-frame
+    mono Y4M per document → REAL frame sampling (``SampleFrames``,
+    every 3rd frame re-containered as standalone Y4M) → per-frame decode
+    through ``DecodeImage`` into integer luma sums. One hash covers the
+    sampling arithmetic, the re-containering, and the decode."""
+    from ..stages.multimodal import media_video_stats
+    return media_video_stats(_docs(sf_dir, ["doc_id"]))
+
+
 TABLE_QUERIES["media_decode_stats"] = q_media_decode_stats
+TABLE_QUERIES["media_audio_stats"] = q_media_audio_stats
+TABLE_QUERIES["media_video_stats"] = q_media_video_stats
 
 TABLE_QUERIES["knn_lsh"] = q_knn_lsh
 TABLE_QUERIES["doc_simhash"] = q_doc_simhash

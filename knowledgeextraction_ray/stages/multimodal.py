@@ -284,3 +284,121 @@ def media_decode_stats(docs_ds, batch_size: int = 64, concurrency=(1, 4)):
     media = docs_ds.map_batches(synth_media_batch, batch_format="pyarrow")
     return media.map_batches(MediaDecodeStats, batch_format="pyarrow",
                              batch_size=batch_size, concurrency=concurrency)
+
+
+AUDIO_N = 1024
+
+
+def synth_audio_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → deterministic 2-channel PCM16 WAV: ``s0(t) = ((13t +
+    37·(id%101)) mod 65536) − 32768``, ``s1(t) = ((29t + 53·(id%103)) mod
+    65536) − 32768``. Two channels so the production mono mixdown is
+    load-bearing; the mixdown's sample sum has a DuckDB closed form."""
+    from ..functions.wav import encode_wav
+    t = np.arange(AUDIO_N, dtype=np.int64)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for doc_id in batch["doc_id"].to_pylist():
+        s0 = ((13 * t + 37 * (doc_id % 101)) % 65536) - 32768
+        s1 = ((29 * t + 53 * (doc_id % 103)) % 65536) - 32768
+        a = np.stack([s0, s1], axis=1) / 32768.0
+        rows["media_id"].append(str(doc_id))
+        rows["kind"].append("audio")
+        rows["payload"].append(encode_wav(a, 16000, bits=16))
+        rows["meta_width"].append(0)
+        rows["meta_height"].append(0)
+        rows["meta_sample_rate"].append(16000)
+        rows["meta_n_frames"].append(0)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioDecodeStats:
+    """Actor: WAV payload → integer stats through the production decode
+    dispatch (``AudioFeatures._decode_one``, fake=False): mono mixdown
+    ×65536 = exact channel-sum integers (int16/32768 and the 2-channel
+    mean are exact in the codec's float pipeline)."""
+
+    def __init__(self):
+        self._dec = AudioFeatures(fake=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for mid, payload, sr in zip(batch["media_id"].to_pylist(),
+                                    batch["payload"].to_pylist(),
+                                    batch["meta_sample_rate"].to_pylist()):
+            mono = self._dec._decode_one(payload, sr)
+            ids.append(int(mid))
+            sums.append(int(np.rint(mono.astype(np.float64)
+                                    * 65536.0).sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sample_sum": pa.array(sums, pa.int64()),
+            "n_samples": pa.array([AUDIO_N] * len(ids), pa.int64()),
+        })
+
+
+def media_audio_stats(docs_ds, batch_size: int = 64, concurrency=(1, 4)):
+    media = docs_ds.map_batches(synth_audio_batch, batch_format="pyarrow")
+    return media.map_batches(AudioDecodeStats, batch_format="pyarrow",
+                             batch_size=batch_size, concurrency=concurrency)
+
+
+VIDEO_FRAMES, FRAME_EVERY_K = 8, 3
+
+
+def synth_video_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → deterministic 8-frame mono Y4M: ``luma_f(x,y) = (5x + 9y
+    + 11f + 17·(id%73)) mod 256``."""
+    from ..functions.y4m import encode_y4m
+    X, Y = np.meshgrid(np.arange(IMG_W), np.arange(IMG_H))
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for doc_id in batch["doc_id"].to_pylist():
+        frames = [[((5 * X + 9 * Y + 11 * f + 17 * (doc_id % 73)) % 256)
+                   .astype(np.uint8)] for f in range(VIDEO_FRAMES)]
+        rows["media_id"].append(str(doc_id))
+        rows["kind"].append("video")
+        rows["payload"].append(encode_y4m(frames, IMG_W, IMG_H,
+                                          colorspace=b"mono"))
+        rows["meta_width"].append(IMG_W)
+        rows["meta_height"].append(IMG_H)
+        rows["meta_sample_rate"].append(0)
+        rows["meta_n_frames"].append(VIDEO_FRAMES)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+class VideoFrameStats:
+    """Actor: sampled single-frame Y4M rows → integer luma stats through
+    ``DecodeImage._decode_one`` (luma repeated ×3 → pixel_sum =
+    3·luma_sum)."""
+
+    def __init__(self):
+        self._dec = DecodeImage(fake=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fis, sums = [], [], []
+        for mid, fi, payload in zip(batch["media_id"].to_pylist(),
+                                    batch["frame_index"].to_pylist(),
+                                    batch["payload"].to_pylist()):
+            img = self._dec._decode_one(payload, 0, 0)
+            ids.append(int(mid))
+            fis.append(int(fi))
+            sums.append(int(img.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_index": pa.array(fis, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+        })
+
+
+def media_video_stats(docs_ds, batch_size: int = 32, concurrency=(1, 4)):
+    """documents(doc_id) → 8-frame Y4M → REAL frame sampling (every 3rd:
+    frames 0, 3, 6) → per-frame decode stats. Gates the sampling
+    arithmetic AND the Y4M re-containering AND the decode in one hash."""
+    media = docs_ds.map_batches(synth_video_batch, batch_format="pyarrow")
+    frames = media.map_batches(SampleFrames,
+                               fn_constructor_kwargs={"every_k":
+                                                      FRAME_EVERY_K},
+                               batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=concurrency)
+    return frames.map_batches(VideoFrameStats, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
