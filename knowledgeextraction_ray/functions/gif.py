@@ -96,7 +96,7 @@ def _lzw_decode(buf: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
             n_out += 1
             prev = code
             continue
-        if code > next_code or code == end or code == clear:
+        if code > next_code:   # end/clear were consumed above
             raise ValueError("LZW: code out of range")
         # expand `code` (or prev+prev[0] for the not-yet-defined code)
         stack.clear()

@@ -163,7 +163,8 @@ class CRFHTTPServer(KGEHTTPServer):
     def process_core(self, data):
         from .serving import crf_process
         query_list = data["query_list"]
-        assert type(query_list) == list      # reference guard
+        if not isinstance(query_list, list):   # reference guard
+            raise ValueError("query_list must be a list")
         texts = [q["text"] if isinstance(q, dict) else q for q in query_list]
         out = crf_process(texts)
         return {"predictions": out["predictions"], "query_list": query_list}
@@ -176,7 +177,8 @@ class MRCHTTPServer(KGEHTTPServer):
     def process_core(self, data):
         from .serving import mrc_process
         query_list = data["query_list"]
-        assert type(query_list) == list
+        if not isinstance(query_list, list):
+            raise ValueError("query_list must be a list")
         items = [{"qas_id": q.get("qas_id", q.get("id")),
                   "question": q["question"], "context": q["context"]}
                  for q in query_list]
@@ -190,7 +192,8 @@ class NREHTTPServer(KGEHTTPServer):
     def process_core(self, data):
         from .serving import nre_process
         query_list = data["query_list"]
-        assert type(query_list) == list
+        if not isinstance(query_list, list):
+            raise ValueError("query_list must be a list")
         preds = nre_process(query_list)
         return {"predictions": [{"relation": r, "score": s}
                                 for r, s in preds],

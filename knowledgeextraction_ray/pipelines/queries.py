@@ -802,10 +802,6 @@ def q_media_decode_stats(sf_dir: str):
     return media_decode_stats(_docs(sf_dir, ["doc_id"]))
 
 
-TABLE_QUERIES["doc_lang_distribution"] = q_doc_lang_distribution
-TABLE_QUERIES["kg_triples_by_repo"] = q_kg_triples_by_repo
-TABLE_QUERIES["events_sliding_window"] = q_events_sliding_window
-TABLE_QUERIES["top_orders_per_customer"] = q_top_orders_per_customer
 def q_media_audio_stats(sf_dir: str):
     """The audio codec path, value-hash gated: deterministic 2-channel
     PCM16 formula waveforms, WAV-encoded, decoded through the production
@@ -825,6 +821,10 @@ def q_media_video_stats(sf_dir: str):
     return media_video_stats(_docs(sf_dir, ["doc_id"]))
 
 
+TABLE_QUERIES["doc_lang_distribution"] = q_doc_lang_distribution
+TABLE_QUERIES["kg_triples_by_repo"] = q_kg_triples_by_repo
+TABLE_QUERIES["events_sliding_window"] = q_events_sliding_window
+TABLE_QUERIES["top_orders_per_customer"] = q_top_orders_per_customer
 TABLE_QUERIES["media_decode_stats"] = q_media_decode_stats
 TABLE_QUERIES["media_audio_stats"] = q_media_audio_stats
 TABLE_QUERIES["media_video_stats"] = q_media_video_stats
