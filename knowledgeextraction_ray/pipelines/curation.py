@@ -3,20 +3,24 @@ actually runs before a token reaches a model, composed from this engine's
 gated operators:
 
     documents
-      → row-local gate stage (quality signals + secret scan, ONE fused
-        map_batches — both are per-row, so they share the scan)
-      → exact dedup (sha bucketed min-agg → representative flag)
-      → MinHash-LSH near-dedup → connected components → keep flag
-      → verdict: kept ⇔ quality_ok ∧ ¬has_secret ∧ exact-rep ∧ near-keep,
-        with a first-failing-gate ``reason`` column for curation reporting.
+      → exact dedup (sha bucketed groupby → non-representative drop ids)
+      → MinHash-LSH near-dedup → connected components → drop ids
+      → ONE verdict scan: quality signals + secret scan computed in-batch,
+        the two dedup verdicts applied from BROADCAST drop-id sets
+        (sorted int64 arrays, ``ray.put`` once, searchsorted per batch) —
+        kept ⇔ quality_ok ∧ ¬has_secret ∧ exact-rep ∧ near-keep, with a
+        first-failing-gate ``reason`` column for curation reporting.
 
-Shape notes: the two row-local gates never leave their batch; the two
-dedup verdicts are corpus-global and join back on ``doc_id`` via
-``bucketed_join`` (doc-count-sized tables — never broadcast). Every
-component is individually SQL-gated; the composed pipeline is gated END TO
-END by one DuckDB oracle assembled from the same SQL pieces
-(``oracle_tables.SQL_DOC_CURATION``), so a wiring mistake between stages —
-not just a kernel bug — fails the hash.
+Shape notes: drop-id sets are bounded by DUPLICATE density, not corpus
+size — the same boundedness class as near-dedup's own pair list — and the
+broadcast path is size-GATED: past ``broadcast_limit`` ids either set
+triggers the join shape (``mode="join"``), where the two dedup verdicts
+join back on ``doc_id`` via ``bucketed_join`` exactly as before (r4
+layout). Mode equality is test-pinned. Every component is individually
+SQL-gated; the composed pipeline is gated END TO END by one DuckDB oracle
+assembled from the same SQL pieces (``oracle_tables.SQL_DOC_CURATION``),
+so a wiring mistake between stages — not just a kernel bug — fails the
+hash.
 """
 
 from __future__ import annotations
@@ -41,28 +45,144 @@ def _gates_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _sha_rows(batch: pa.Table) -> pa.Table:
+    from ..functions.hashing import sha256_column
+    return pa.Table.from_pydict({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "text_sha": sha256_column(batch["text"]),
+    })
+
+
+def _exact_drop_ids(ds, num_buckets: int, limit: int) -> np.ndarray:
+    """doc_ids that are exact duplicates of an earlier (min-id) doc —
+    the sha-bucket groupby emits ONLY the non-representatives, so the
+    driver pull is bounded by exact-dup count, not corpus size. Raises
+    ValueError past ``limit`` rows (callers fall back to the join shape)."""
+    from ..stages.groupagg import add_bucket_column
+
+    def drops(g):
+        from ..functions.tables import from_pandas_clean
+        m = g.groupby("text_sha")["doc_id"].transform("min")
+        return from_pandas_clean(
+            g.loc[g["doc_id"] != m, ["doc_id"]].astype({"doc_id": "int64"}))
+
+    drops_ds = (ds.map_batches(_sha_rows, batch_format="pyarrow")
+                .map_batches(lambda b: add_bucket_column(b, ["text_sha"],
+                                                         num_buckets),
+                             batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(drops, batch_format="pandas"))
+    pdf = drops_ds.to_pandas(limit=limit)
+    if "doc_id" not in pdf.columns:      # all-empty map_groups drops schema
+        return np.empty(0, dtype=np.int64)
+    return np.sort(pdf["doc_id"].to_numpy().astype(np.int64))
+
+
+def _near_drop_ids(ds, threshold: float, limit: int) -> np.ndarray:
+    """doc_ids dropped by near-dedup (component members that are not their
+    component's min-id representative). Bounded by near-dup pair volume;
+    raises ValueError past ``limit`` pairs."""
+    from ..stages.dedup import dedup_components, minhash_dedup_pairs
+    pairs = minhash_dedup_pairs(ds, threshold=threshold).to_pandas(
+        limit=limit)
+    if "doc_id_a" not in pairs.columns:  # all-empty map_groups drops schema
+        return np.empty(0, dtype=np.int64)
+    comp = dedup_components(pairs)
+    drops = comp.loc[~comp["keep"], "doc_id"].to_numpy().astype(np.int64)
+    return np.sort(drops)
+
+
+def _in_sorted(ids: np.ndarray, arr: np.ndarray) -> np.ndarray:
+    """Membership of ``ids`` in the SORTED array ``arr`` (vectorized)."""
+    out = np.zeros(len(ids), dtype=bool)
+    if len(arr) == 0:
+        return out
+    pos = np.searchsorted(arr, ids)
+    valid = pos < len(arr)
+    out[valid] = arr[pos[valid]] == ids[valid]
+    return out
+
+
+_DROPSET_CACHE: dict[str, dict] = {}
+
+
+def _cached_dropsets(ref) -> dict:
+    if isinstance(ref, dict):
+        return ref
+    key = ref.hex()
+    m = _DROPSET_CACHE.get(key)
+    if m is None:
+        import ray
+        m = _DROPSET_CACHE.setdefault(key, ray.get(ref))
+    return m
+
+
+def _verdict_scan(batch: pa.Table, *, drops_ref) -> pa.Table:
+    from ..stages.text_analysis import quality_batch, secret_scan_batch
+    drops = _cached_dropsets(drops_ref)
+    q = quality_batch(batch)["quality_ok"].to_numpy(
+        zero_copy_only=False).astype(bool)
+    s = secret_scan_batch(batch)["has_secret"].to_numpy(
+        zero_copy_only=False).astype(bool)
+    ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    e = ~_in_sorted(ids, drops["exact"])
+    n = ~_in_sorted(ids, drops["near"])
+    kept = q & ~s & e & n
+    reason = np.where(~q, "low_quality",
+              np.where(s, "secret",
+               np.where(~e, "exact_dup",
+                np.where(~n, "near_dup", "kept"))))
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(ids, pa.int64()),
+        "quality_ok": pa.array(q, pa.bool_()),
+        "has_secret": pa.array(s, pa.bool_()),
+        "is_exact_rep": pa.array(e, pa.bool_()),
+        "near_keep": pa.array(n, pa.bool_()),
+        "kept": pa.array(kept, pa.bool_()),
+        "reason": pa.array(reason.tolist(), pa.string()),
+    })
+
+
 def curation_pipeline(ds, neardup_threshold: float = 0.7,
-                      num_buckets: int = 32):
+                      num_buckets: int = 32, mode: str = "auto",
+                      broadcast_limit: int = 5_000_000):
     """documents (doc_id, text) → per-doc curation verdict table
     (doc_id, quality_ok, has_secret, is_exact_rep, near_keep, kept,
-    reason)."""
-    from ..functions.hashing import sha256_column
+    reason).
+
+    ``mode="auto"``: single-verdict-scan shape with broadcast drop-id sets
+    (see module docstring), falling back to ``"join"`` when either drop
+    set exceeds ``broadcast_limit``. ``mode="join"`` forces the
+    bucketed-join shape (the fallback's own contract)."""
+    import ray
+    ds = ds.materialize()          # dedups + verdict scan consume it
+    if mode == "auto":
+        try:
+            exact = _exact_drop_ids(ds, num_buckets, broadcast_limit)
+            near = _near_drop_ids(ds, neardup_threshold, broadcast_limit)
+        except ValueError:
+            mode = "join"
+        else:
+            ref = ray.put({"exact": exact, "near": near})
+            return ds.map_batches(_verdict_scan,
+                                  fn_kwargs={"drops_ref": ref},
+                                  batch_format="pyarrow")
+    return _curation_join_shape(ds, neardup_threshold, num_buckets)
+
+
+def _curation_join_shape(ds, neardup_threshold: float, num_buckets: int):
+    """The r4 join layout — gates scan + per-doc dedup flag tables joined
+    back on ``doc_id`` via two ``bucketed_join``s. The 100-TB shape when
+    duplicate density is too high to broadcast drop ids."""
     from ..stages.dedup import minhash_dedup_keep
     from ..stages.groupagg import add_bucket_column
     from ..stages.joins import bucketed_join
 
-    ds = ds.materialize()          # three consumers: gates + both dedups
     gates = ds.map_batches(_gates_batch, batch_format="pyarrow")
 
     # exact-dedup flag with FULL per-doc coverage (flag assigned inside the
-    # sha-bucket groupby, so the downstream joins stay inner/NaN-free —
-    # bool columns survive Arrow schema unification)
-    def sha_rows(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-            "text_sha": sha256_column(batch["text"]),
-        })
-
+    # sha-bucket groupby, so the downstream joins stay inner/NaN-free)
     def rep_flags(g):
         from ..functions.tables import from_pandas_clean
         g = g.drop(columns=["__bucket"])
@@ -71,7 +191,7 @@ def curation_pipeline(ds, neardup_threshold: float = 0.7,
                              .transform("min")).astype("int8")
         return from_pandas_clean(g[["doc_id", "is_exact_rep"]])
 
-    reps = (ds.map_batches(sha_rows, batch_format="pyarrow")
+    reps = (ds.map_batches(_sha_rows, batch_format="pyarrow")
             .map_batches(lambda b: add_bucket_column(b, ["text_sha"],
                                                      num_buckets),
                          batch_format="pyarrow")

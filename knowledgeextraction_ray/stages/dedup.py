@@ -129,20 +129,39 @@ def jaccard_pairs(ds, key_col: str = "source", threshold: float = 0.5,
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-char-gram rolling hashes (uint64)."""
-    data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
-    if len(data) < k:
-        data = np.pad(data, (0, k - len(data)))
-    grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+def _shingle_powers(k: int) -> np.ndarray:
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
     base = np.uint64(1_000_003)
     with np.errstate(over="ignore"):              # mod-2^64 wraparound is
         for i in range(1, k):                     # the intended semantics
             powers[i] = powers[i - 1] * base
+    return powers
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char-gram rolling hashes (uint64)."""
+    data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)))
+    grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = _shingle_powers(k)
+    with np.errstate(over="ignore"):
         h = (grams * powers[::-1]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
+
+
+def _shingle_list_array(shs: list[np.ndarray]) -> pa.ListArray:
+    """[per-doc sorted-unique shingle arrays] → one Arrow list column
+    without per-element Python objects."""
+    counts = np.fromiter((len(s) for s in shs), dtype=np.int64,
+                         count=len(shs))
+    offs = np.zeros(len(shs) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offs[1:])
+    values = (np.concatenate(shs) if shs else
+              np.empty(0, np.uint64)).astype(np.int64)
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                    pa.array(values, pa.int64()))
 
 
 class MinHasher:
@@ -171,24 +190,33 @@ class MinHasher:
         return v.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # deliberately a per-doc numpy loop: each doc's (S, 128) universal-
+        # hash temp fits in L2, so the looped kernel is memory-friendly —
+        # a whole-batch (ΣS, CH) block + ``np.minimum.reduceat`` MEASURED
+        # 8× slower (reduceat pays ~50 ns/element ufunc dispatch and the
+        # big temp goes through DRAM), and a whole-batch lexsort shingle
+        # dedup lost to the per-doc cache-resident ``np.unique`` too. The
+        # Arrow assembly, though, is columnar (no tolist round-trip).
         texts = batch["text"].to_pylist()
         shs = [_shingle_hashes(t, self.k) for t in texts]
-        sigs = np.stack([self._sig_of(sh) for sh in shs]).astype(np.int64)
+        sigs = (np.stack([self._sig_of(sh) for sh in shs]) if shs else
+                np.empty((0, self.num_hashes), np.uint64)).astype(np.int64)
         cols = {
             "doc_id": batch["doc_id"],
-            "signature": pa.array(sigs.tolist(),
-                                  pa.list_(pa.int64(), self.num_hashes)),
+            "signature": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), pa.int64()), self.num_hashes),
         }
         if self.emit_shingles:
-            cols["shingles"] = pa.array(
-                [sh.astype(np.int64) for sh in shs], pa.list_(pa.int64()))
+            cols["shingles"] = _shingle_list_array(shs)
         return pa.Table.from_pydict(cols)
 
 
 def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
     """signature rows → (band_id, band_hash, doc_id) exploded rows."""
-    sigs = np.array(batch["signature"].to_pylist(), dtype=np.int64)
-    n, H = sigs.shape
+    sig_col = batch["signature"].combine_chunks()
+    n = len(sig_col)
+    sigs = np.asarray(sig_col.flatten().to_numpy()).reshape(n, -1)
+    H = sigs.shape[1]
     r = H // num_bands
     ids = batch["doc_id"].to_numpy()
     band_ids, band_hashes, doc_ids = [], [], []
@@ -211,25 +239,32 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
 
 def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
                            shingle_k: int = 5,
-                           pair_driver_limit: int = 5_000_000,
+                           pair_driver_limit: int = 25_000_000,
                            max_bucket: int = 1000):
     """documents → candidate near-dup pairs (doc_id_a < doc_id_b, deduped).
 
     explode to band rows → ``groupby(band_id, band_hash)`` → pairs within
     bucket → global pair dedup."""
-    from ..runtime import pool_size
-    sigs = ds.map_batches(MinHasher,
-                          fn_constructor_kwargs={"num_hashes": num_hashes,
-                                                 "shingle_k": shingle_k},
-                          batch_format="pyarrow",
-                          concurrency=(1, pool_size(1.0)))
+    # task-based sketch: MinHasher init is a trivial seeded randint and the
+    # kernel is whole-batch vectorized, so a stateless task stage avoids
+    # the autoscaling actor-pool ramp entirely
+    sigs = ds.map_batches(_sketch_batch,
+                          fn_kwargs={"num_hashes": num_hashes,
+                                     "shingle_k": shingle_k,
+                                     "emit_shingles": False},
+                          batch_format="pyarrow")
     bands = sigs.map_batches(lambda b: _band_rows(b, num_bands),
                              batch_format="pyarrow")
 
-    # group on a COARSE key (band_hash % 256): most true LSH buckets are
-    # singletons, and a map_groups fn per tiny bucket is a Python-loop
-    # bottleneck; inside a coarse group, numpy emits each >1-doc bucket's
-    # pairs via triu indices and pre-dedups them — NO Python pair loops
+    # group on a COARSE key that FOLDS IN band_id (band_id·256 +
+    # band_hash % 256, bijective in band_id since the hash residue is
+    # < 256): two rows share a sub-bucket iff same (band_id, band_hash)
+    # ⇔ same (coarse, band_hash), so the exchanged rows drop the band_id
+    # column entirely (narrower shuffle) and the 8192 groups parallelize
+    # finer than the former 256. Most true LSH buckets are singletons, and
+    # a map_groups fn per tiny bucket is a Python-loop bottleneck; inside
+    # a coarse group, the run-length kernel emits each >1-doc bucket's
+    # pairs vectorized by run size class — NO Python pair loops
     # (word-salad-ish corpora produce mega-buckets whose quadratic pair
     # sets must be emitted at C speed or not at all).
     # degenerate buckets (near-identical corpus slices): past max_bucket the
@@ -239,23 +274,30 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
     # exactly the clusters near-dedup targets).
 
     def add_coarse(batch: pa.Table) -> pa.Table:
-        coarse = (batch["band_hash"].to_numpy() % 256).astype(np.int32)
-        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+        bh = batch["band_hash"].to_numpy()
+        bid = batch["band_id"].to_numpy()
+        coarse = bid.astype(np.int32) * 256 + (bh % 256).astype(np.int32)
+        return pa.Table.from_pydict({
+            "coarse": pa.array(coarse, pa.int32()),
+            "band_hash": batch["band_hash"],
+            "doc_id": batch["doc_id"],
+        })
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        chunks = []
-        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
-            n = len(sub)
-            if n < 2:
-                continue
-            ids = np.sort(sub["doc_id"].to_numpy())
-            if n > max_bucket:
-                chunks.append(np.int64(ids[0]) * (1 << 31)
-                              + ids[1:].astype(np.int64))
-                continue
-            i, j = np.triu_indices(n, k=1)
-            # encode the pair as one int64 (doc ids are < 2^31 here)
-            chunks.append(ids[i].astype(np.int64) * (1 << 31) + ids[j])
+        # one argsort turns the band_hash buckets into runs (band_id is
+        # constant per coarse group by construction); pairs come out of
+        # the run-length kernel vectorized by run size class
+        # (``_runs_pairs``) — the former per-sub-bucket pandas iteration
+        # was ~40 µs × one Python step per MOSTLY-SINGLETON bucket, the
+        # single largest cost of the 1M-doc near-dedup run
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        bh = g["band_hash"].to_numpy()
+        order = np.argsort(bh, kind="stable")
+        bh_s = bh[order]
+        boundary = np.flatnonzero(bh_s[1:] != bh_s[:-1]) + 1
+        run_starts = np.r_[0, boundary]
+        run_lengths = np.diff(np.r_[run_starts, len(bh_s)])
+        chunks = _runs_pairs(ids[order], run_starts, run_lengths, max_bucket)
         if not chunks:
             return pa.Table.from_pydict(
                 {"pair_key": pa.array([], pa.int64()),
@@ -270,12 +312,17 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
              .map_groups(coarse_pairs, batch_format="pandas"))
 
     # a pair can surface from several coarse groups → merge on the int key.
-    # Pair-key rows scale with near-dup density, not corpus size, so the
-    # driver merge (one np.unique) beats a distributed groupby's fixed
-    # shuffle cost by a wide margin — but it is size-GUARDED: past
-    # ``pair_driver_limit`` rows the merge falls back to the bucketed
-    # distributed aggregation (no unbounded driver materialization).
+    # Pair-key rows scale with near-dup density, not corpus size (≤
+    # num_bands rows per true pair: two int64 columns, ~90 MB at 1M docs
+    # with 10% planted dups), so the driver merge (one np.unique) beats a
+    # distributed groupby's fixed shuffle cost by a wide margin — but it
+    # is size-GUARDED: past ``pair_driver_limit`` rows the merge falls
+    # back to the bucketed distributed aggregation (no unbounded driver
+    # materialization). The partial-pair stream is pinned first so the
+    # fallback NEVER re-executes the sketch+band+sort upstream (measured:
+    # the lazy retry doubled the 1M-doc candidate wall time).
     import ray.data as rd
+    pairs = pairs.materialize()
     try:
         pdf = pairs.to_pandas(limit=pair_driver_limit)
     except ValueError:
@@ -390,28 +437,65 @@ def _sorted_intersection_size(sa: np.ndarray, sb: np.ndarray) -> int:
     return int((sb[pos[valid]] == sa[valid]).sum())
 
 
+class ShingleStore:
+    """CSR layout of candidate docs' SORTED-UNIQUE shingle arrays: one
+    sorted id array + (start, end) slice bounds into one values array —
+    built zero-copy from the Arrow list column (no per-doc Python lists;
+    the former dict-of-arrays broadcast converted ~10^8 Python ints
+    through pandas at 1M docs, the dominant verify cost)."""
+
+    __slots__ = ("ids", "starts", "ends", "values")
+
+    def __init__(self, ids: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray, values: np.ndarray):
+        self.ids, self.starts, self.ends = ids, starts, ends
+        self.values = values
+
+    @classmethod
+    def from_table(cls, tbl: pa.Table) -> "ShingleStore":
+        """(doc_id, shingles list<int64>) table → store (ids sorted)."""
+        ids = pc.cast(tbl["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        col = tbl["shingles"].combine_chunks()
+        values = np.asarray(col.flatten().to_numpy()).view(np.uint64)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]               # sliced arrays rebased
+        order = np.argsort(ids, kind="stable")
+        return cls(ids[order], offs[:-1][order], offs[1:][order], values)
+
+    def get(self, doc_id: int) -> np.ndarray:
+        i = int(np.searchsorted(self.ids, doc_id))
+        return self.values[self.starts[i]:self.ends[i]]
+
+
 class VerifyPairs:
     """Actor: verify candidate pairs with exact shingle Jaccard. Holds a
-    broadcast doc_id → SORTED-shingle-array map of the CANDIDATE docs only
-    (``ray.put`` once, numpy arrays read zero-copy from plasma) — never the
-    whole corpus; its size is bounded by near-dup pair volume, the same
-    class as the output itself. Shingling happens ONCE per doc, distributed,
-    in the candidate-docs pass (see ``_candidate_shingles``) — per-actor
+    broadcast ``ShingleStore`` of the CANDIDATE docs only (``ray.put``
+    once, numpy arrays read zero-copy from plasma) — never the whole
+    corpus; its size is bounded by near-dup pair volume, the same class as
+    the output itself. Shingling happens ONCE per doc, distributed, in the
+    candidate-docs pass (see ``_candidate_shingles``) — per-actor
     re-sketching of every doc was the dominant verify cost. Past
     ``broadcast_limit`` the pipeline switches to the bucketed-join verify."""
 
     def __init__(self, docs_ref, shingle_k: int = 5):
         import ray
-        self.shingles = ray.get(docs_ref) if not isinstance(docs_ref, dict) \
-            else docs_ref
+        self.store = docs_ref if isinstance(docs_ref, ShingleStore) \
+            else ray.get(docs_ref)
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_id_a"].to_pylist()
-        b = batch["doc_id_b"].to_pylist()
+        st = self.store
+        a = pc.cast(batch["doc_id_a"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = pc.cast(batch["doc_id_b"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ia = np.searchsorted(st.ids, a)
+        ib = np.searchsorted(st.ids, b)
         jac = np.empty(len(a), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa, sb = self.shingles[x], self.shingles[y]
+        for i in range(len(a)):
+            sa = st.values[st.starts[ia[i]]:st.ends[ia[i]]]
+            sb = st.values[st.starts[ib[i]]:st.ends[ib[i]]]
             inter = _sorted_intersection_size(sa, sb)
             union = len(sa) + len(sb) - inter
             jac[i] = inter / union if union else 1.0
@@ -569,37 +653,43 @@ def dedup_components_distributed(pairs_ds, max_iters: int = 50):
 
 
 def _candidate_shingles(ds, cands, broadcast_limit: int,
-                        shingle_k: int) -> dict:
-    """{doc_id: sorted shingle-hash array} for docs appearing in candidate
-    pairs ONLY.
+                        shingle_k: int) -> ShingleStore:
+    """``ShingleStore`` of the docs appearing in candidate pairs ONLY.
 
     ``broadcast_semi_join`` filters the corpus with a broadcast id set (a
     scan, no shuffle) and the same scan computes each doc's sorted shingle
     array — distributed, once per doc — so the only driver-materialized data
-    is bounded by pair volume. Raises ValueError past ``broadcast_limit``
-    rows (callers fall back to the join verify)."""
-    ids_pdf = (cands.select_columns(["doc_id_a", "doc_id_b"])
-               .to_pandas(limit=broadcast_limit))
-    idset = set(int(i) for i in ids_pdf["doc_id_a"]) | \
-        set(int(i) for i in ids_pdf["doc_id_b"])
+    is bounded by pair volume, and it moves as Arrow buffers, never Python
+    objects. Raises ValueError past ``broadcast_limit`` rows (callers fall
+    back to the join verify)."""
+    import ray
+    id_tbls = ray.get(
+        cands.select_columns(["doc_id_a", "doc_id_b"]).to_arrow_refs())
+    if sum(len(t) for t in id_tbls) > broadcast_limit:
+        raise ValueError("candidate pairs exceed broadcast_limit")
+    idset = np.unique(np.concatenate(
+        [np.concatenate([t["doc_id_a"].to_numpy(), t["doc_id_b"].to_numpy()])
+         for t in id_tbls if len(t)] or [np.empty(0, np.int64)]))
+    if len(idset) > broadcast_limit:
+        raise ValueError("candidate docs exceed broadcast_limit")
     from .joins import broadcast_semi_join
     cand_docs = broadcast_semi_join(
-        ds.select_columns(["doc_id", "text"]), "doc_id", idset)
+        ds.select_columns(["doc_id", "text"]), "doc_id", idset.tolist())
 
     def sketch(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        shs = [_shingle_hashes(t, shingle_k)
+               for t in batch["text"].to_pylist()]
         return pa.Table.from_pydict({
             "doc_id": batch["doc_id"],
-            "shingles": pa.array(
-                [_shingle_hashes(t, shingle_k).astype(np.int64) for t in
-                 texts], pa.list_(pa.int64())),
+            "shingles": _shingle_list_array(shs),
         })
 
-    pdf = cand_docs.map_batches(sketch, batch_format="pyarrow",
-                                batch_size=None).to_pandas(
-                                    limit=broadcast_limit)
-    return {int(i): np.asarray(s, dtype=np.uint64)
-            for i, s in zip(pdf["doc_id"], pdf["shingles"])}
+    tbl = pa.concat_tables(ray.get(
+        cand_docs.map_batches(sketch, batch_format="pyarrow",
+                              batch_size=None).to_arrow_refs()))
+    if len(tbl) > broadcast_limit:
+        raise ValueError("candidate docs exceed broadcast_limit")
+    return ShingleStore.from_table(tbl)
 
 
 def _rename_docs(ds, suffix: str):
@@ -704,14 +794,14 @@ def _slices(tbl: pa.Table, n_chunks: int) -> list:
     return [tbl.slice(i, step) for i in range(0, max(1, len(tbl)), step)]
 
 
-def _sketch_batch(batch: pa.Table, *, num_hashes: int,
-                  shingle_k: int) -> pa.Table:
+def _sketch_batch(batch: pa.Table, *, num_hashes: int, shingle_k: int,
+                  emit_shingles: bool = True) -> pa.Table:
     # per-task hasher: init is a trivial seeded randint, no actor pool
     return MinHasher(num_hashes=num_hashes, shingle_k=shingle_k,
-                     emit_shingles=True)(batch)
+                     emit_shingles=emit_shingles)(batch)
 
 
-_SHINGLE_CACHE: dict[str, dict] = {}
+_SHINGLE_CACHE: dict[str, "ShingleStore"] = {}
 
 
 def _verify_batch(batch: pa.Table, *, docs_ref, shingle_k: int) -> pa.Table:
@@ -754,12 +844,7 @@ def _small_corpus_pairs(ds, num_hashes: int = 128, num_bands: int = 32,
     ).reshape(len(doc_ids), num_hashes)
     pair_tbl = _driver_band_pairs(doc_ids, sig_np, num_bands, max_bucket)
 
-    shingle_col = tbl["shingles"].combine_chunks()
-    flat = np.asarray(shingle_col.flatten().to_numpy()).view(np.uint64)
-    offs = shingle_col.offsets.to_numpy()
-    shingles = {int(d): flat[offs[i]:offs[i + 1]]
-                for i, d in enumerate(doc_ids)}
-    ref = ray.put(shingles)
+    ref = ray.put(ShingleStore.from_table(tbl))
     return rd.from_arrow(_slices(pair_tbl, pool * 4)).map_batches(
         _verify_batch,
         fn_kwargs={"docs_ref": ref, "shingle_k": shingle_k},

@@ -369,6 +369,36 @@ def test_curation_pipeline_planted():
     assert out.loc[3, "reason"] == "low_quality"
 
 
+def test_curation_modes_equal():
+    """The broadcast single-scan shape (mode=auto) and the bucketed-join
+    shape (mode=join) must produce the identical verdict table — the r5
+    fast path is gated against the r4 layout it replaced."""
+    from knowledgeextraction_ray.pipelines.curation import curation_pipeline
+    base = ("the quick brown fox jumps of the dog and then the fox runs "
+            "to a large house of words with many more tokens inside it. ")
+    rows = []
+    for i in range(60):
+        if i % 7 == 3:
+            text = base * 3                         # exact-dup cluster
+        elif i % 7 == 5:
+            text = base * 3 + f" extra tail {i}"    # near-dups of the above
+        elif i % 11 == 2:
+            text = base * 2 + " AKIA" + "Q" * 16    # planted secret
+        elif i % 13 == 4:
+            text = "x y"                            # low quality
+        else:
+            text = (base.replace("fox", f"tok{i}word") * 3) + f" uniq {i}"
+        rows.append({"doc_id": i, "text": text})
+    ds = rd.from_items(rows)
+    auto = (curation_pipeline(ds, mode="auto").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    join = (curation_pipeline(rd.from_items(rows), mode="join").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto, join[auto.columns])
+    assert set(auto["reason"]) >= {"kept", "exact_dup", "secret",
+                                   "low_quality"}
+
+
 def test_decontaminate_planted():
     """A doc quoting a benchmark passage is flagged; unrelated docs pass."""
     from knowledgeextraction_ray.stages.dedup import decontaminate
