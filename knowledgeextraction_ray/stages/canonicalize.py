@@ -147,7 +147,8 @@ def _with_bucket(ds, cols, num_buckets: int = 32):
         parts = [pc.cast(batch[c], pa.string()) for c in cols]
         keys = parts[0] if len(parts) == 1 else \
             pc.binary_join_element_wise(*parts, "|")
-        b = (stable_hash64(keys.to_pylist()) % num_buckets).astype(np.int32)
+        from ..functions.hashing import fast_hash64
+        b = (fast_hash64(keys) % num_buckets).astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
     return ds.map_batches(add, batch_format="pyarrow")
 

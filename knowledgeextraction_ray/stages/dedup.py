@@ -1012,7 +1012,8 @@ class HyperplaneBucketer:
         self.planes = lsh_planes(dim, bits, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        from .knn import embedding_matrix
+        vecs = embedding_matrix(batch["embedding"])
         signs = (vecs @ self.planes) > 0
         bucket = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
         return pa.Table.from_pydict({

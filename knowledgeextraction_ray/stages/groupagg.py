@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import fast_hash64
 
 
 def add_bucket_column(batch: pa.Table, keys: list[str],
@@ -33,11 +33,15 @@ def add_bucket_column(batch: pa.Table, keys: list[str],
             b = (col.to_numpy(zero_copy_only=False).astype(np.int64)
                  % num_buckets).astype(np.int32)
             return batch.append_column("__bucket", pa.array(b))
-        vals = [str(v) for v in col.to_pylist()]
+        key_arr = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
     else:
-        cols = [batch[k].to_pylist() for k in keys]
-        vals = ["\x1f".join(str(v) for v in row) for row in zip(*cols)]
-    b = (stable_hash64(vals) % num_buckets).astype(np.int32)
+        import pyarrow.compute as pc
+        parts = [pc.cast(batch[k], pa.string()) for k in keys]
+        key_arr = pc.binary_join_element_wise(*parts, "\x1f")
+    # bucket ids are exchange-internal: the vectorized fold hash, no
+    # per-row Python (see functions.hashing.fast_hash64)
+    b = (fast_hash64(key_arr) % num_buckets).astype(np.int32)
     return batch.append_column("__bucket", pa.array(b))
 
 

@@ -21,7 +21,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import stable_hash64
 
 
 def hash_join(left, right, on: str, num_partitions: int = 16,
@@ -72,8 +71,8 @@ def bucketed_join(left, right, on: str, num_buckets: int = 32,
                 b = (splitmix64(col.to_numpy(zero_copy_only=False))
                      % np.uint64(num_buckets)).astype(np.int64)
             else:
-                keys = col.to_pylist()
-                b = (stable_hash64([str(k) for k in keys]) % num_buckets)
+                from ..functions.hashing import fast_hash64
+                b = (fast_hash64(col) % num_buckets)
             batch = batch.append_column("__bucket",
                                         pa.array(b.astype(np.int32)))
             batch = batch.append_column("__side",
@@ -138,10 +137,11 @@ def asof_join(left, right, by: str, on: str, num_buckets: int = 32,
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch[by].to_numpy(zero_copy_only=False)
-            b = (keys.astype(np.int64) % num_buckets).astype(np.int32) \
-                if np.issubdtype(keys.dtype, np.integer) else \
-                (stable_hash64([str(k) for k in keys]) % num_buckets
-                 ).astype(np.int32)
+            if np.issubdtype(keys.dtype, np.integer):
+                b = (keys.astype(np.int64) % num_buckets).astype(np.int32)
+            else:
+                from ..functions.hashing import fast_hash64
+                b = (fast_hash64(batch[by]) % num_buckets).astype(np.int32)
             batch = batch.append_column("__bucket", pa.array(b))
             return batch.append_column("__side",
                                        pa.array([side] * len(batch)))

@@ -20,6 +20,27 @@ import pyarrow as pa
 import ray
 
 
+def embedding_matrix(col) -> np.ndarray:
+    """Arrow ``list<float>`` / ``fixed_size_list<float>`` column →
+    (N, D) float64 matrix via the Arrow values buffer — zero-copy for
+    float64 inputs (r4 verdict: ``to_pylist()`` converted the vector
+    column through Python lists in every scoring batch of the hot matmul
+    stages). Raises on ragged rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        lens = np.diff(col.offsets.to_numpy())
+        if len(lens) and (lens != lens[0]).any():
+            raise ValueError("ragged embedding column")
+    elif len(flat) % n:
+        raise ValueError("ragged embedding column")
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
 class BruteKnnScorer:
     """Actor: per-batch cosine vs broadcast queries → local top-k rows."""
 
@@ -34,7 +55,7 @@ class BruteKnnScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
@@ -155,7 +176,7 @@ def knn_brute_ds(ds, queries_ds, k: int = 10, chunk_rows: int = 8192,
               .iter_batches(batch_size=chunk_rows, batch_format="pyarrow")):
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
-        qm = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        qm = embedding_matrix(b["embedding"])
         chunk_refs.append(ray.put((ids[order].tolist(), qm[order])))
         n_queries += len(ids)
     if not chunk_refs:
@@ -285,7 +306,7 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
     ref = ray.put((q_ids, qm))
 
     def in_probed_cells(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = embedding_matrix(batch["embedding"])
         d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         cells = d.argmin(axis=1)
         mask = np.isin(cells, list(probe))
@@ -324,7 +345,7 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, bits: int = 8,
     ref = ray.put((q_ids, qm))
 
     def in_query_buckets(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = embedding_matrix(batch["embedding"])
         b = bucket_of(vecs)
         mask = np.isin(b, list(q_buckets))
         return batch.filter(pa.array(mask))

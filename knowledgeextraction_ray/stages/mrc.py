@@ -407,7 +407,8 @@ def nbest_merge(scored, n_best: int = 20, num_buckets: int = 32,
     """feature-level predictions → per-example n-best rows (+ the
     null-odds-thresholded ``final_answer``)."""
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = stable_hash64(batch["example_id"].to_pylist()) % num_buckets
+        from ..functions.hashing import fast_hash64
+        b = fast_hash64(batch["example_id"]) % num_buckets
         return batch.append_column("bucket",
                                    pa.array(b.astype(np.int32)))
 

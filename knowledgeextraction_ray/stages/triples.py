@@ -138,11 +138,14 @@ class EmitTriples:
 
 
 def _add_dedup_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    from ..functions.hashing import stable_hash64
-    keys = [f"{s}|{p}|{o}" for s, p, o in zip(batch["subj"].to_pylist(),
-                                              batch["pred"].to_pylist(),
-                                              batch["obj"].to_pylist())]
-    buck = (stable_hash64(keys) % num_buckets).astype("int32")
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_hash64
+    keys = pc.binary_join_element_wise(
+        pc.cast(batch["subj"], pa.string()),
+        pc.cast(batch["pred"], pa.string()),
+        pc.cast(batch["obj"], pa.string()), "|")
+    buck = (fast_hash64(keys) % num_buckets).astype("int32")
     return batch.append_column("bucket", pa.array(buck))
 
 
