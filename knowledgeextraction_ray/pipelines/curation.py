@@ -53,11 +53,14 @@ def _sha_rows(batch: pa.Table) -> pa.Table:
     })
 
 
-def _exact_drop_ids(ds, num_buckets: int, limit: int) -> np.ndarray:
+def _exact_drop_ids(ds, num_buckets: int, limit: int,
+                    sha_ds=None) -> np.ndarray:
     """doc_ids that are exact duplicates of an earlier (min-id) doc —
     the sha-bucket groupby emits ONLY the non-representatives, so the
     driver pull is bounded by exact-dup count, not corpus size. Raises
-    ValueError past ``limit`` rows (callers fall back to the join shape)."""
+    ValueError past ``limit`` rows (callers fall back to the join shape).
+    ``sha_ds``: precomputed ``(doc_id, text_sha)`` rows (the resumable
+    path's wave checkpoints) — skips the sha scan."""
     from ..stages.groupagg import add_bucket_column
 
     def drops(g):
@@ -66,7 +69,10 @@ def _exact_drop_ids(ds, num_buckets: int, limit: int) -> np.ndarray:
         return from_pandas_clean(
             g.loc[g["doc_id"] != m, ["doc_id"]].astype({"doc_id": "int64"}))
 
-    drops_ds = (ds.map_batches(_sha_rows, batch_format="pyarrow")
+    src = (sha_ds.select_columns(["doc_id", "text_sha"])
+           if sha_ds is not None
+           else ds.map_batches(_sha_rows, batch_format="pyarrow"))
+    drops_ds = (src
                 .map_batches(lambda b: add_bucket_column(b, ["text_sha"],
                                                          num_buckets),
                              batch_format="pyarrow")
@@ -78,13 +84,15 @@ def _exact_drop_ids(ds, num_buckets: int, limit: int) -> np.ndarray:
     return np.sort(pdf["doc_id"].to_numpy().astype(np.int64))
 
 
-def _near_drop_ids(ds, threshold: float, limit: int) -> np.ndarray:
+def _near_drop_ids(ds, threshold: float, limit: int,
+                   sigs=None) -> np.ndarray:
     """doc_ids dropped by near-dedup (component members that are not their
     component's min-id representative). Bounded by near-dup pair volume;
-    raises ValueError past ``limit`` pairs."""
+    raises ValueError past ``limit`` pairs. ``sigs``: precomputed
+    signatures (wave checkpoints) — skips the sketch scan."""
     from ..stages.dedup import dedup_components, minhash_dedup_pairs
-    pairs = minhash_dedup_pairs(ds, threshold=threshold).to_pandas(
-        limit=limit)
+    pairs = minhash_dedup_pairs(ds, threshold=threshold,
+                                sigs=sigs).to_pandas(limit=limit)
     if "doc_id_a" not in pairs.columns:  # all-empty map_groups drops schema
         return np.empty(0, dtype=np.int64)
     comp = dedup_components(pairs)
@@ -117,15 +125,10 @@ def _cached_dropsets(ref) -> dict:
     return m
 
 
-def _verdict_scan(batch: pa.Table, *, drops_ref) -> pa.Table:
-    from ..stages.text_analysis import quality_batch, secret_scan_batch
-    drops = _cached_dropsets(drops_ref)
-    q = quality_batch(batch)["quality_ok"].to_numpy(
-        zero_copy_only=False).astype(bool)
-    s = secret_scan_batch(batch)["has_secret"].to_numpy(
-        zero_copy_only=False).astype(bool)
-    ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
-        zero_copy_only=False)
+def _verdict_table(ids: np.ndarray, q: np.ndarray, s: np.ndarray,
+                   drops: dict) -> pa.Table:
+    """Assemble the verdict columns from gate flags + broadcast drop sets
+    (shared by the text scan and the checkpointed-flags scan)."""
     e = ~_in_sorted(ids, drops["exact"])
     n = ~_in_sorted(ids, drops["near"])
     kept = q & ~s & e & n
@@ -144,9 +147,69 @@ def _verdict_scan(batch: pa.Table, *, drops_ref) -> pa.Table:
     })
 
 
+def _verdict_scan(batch: pa.Table, *, drops_ref) -> pa.Table:
+    from ..stages.text_analysis import quality_batch, secret_scan_batch
+    drops = _cached_dropsets(drops_ref)
+    q = quality_batch(batch)["quality_ok"].to_numpy(
+        zero_copy_only=False).astype(bool)
+    s = secret_scan_batch(batch)["has_secret"].to_numpy(
+        zero_copy_only=False).astype(bool)
+    ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    return _verdict_table(ids, q, s, drops)
+
+
+def _verdict_flags_scan(batch: pa.Table, *, drops_ref) -> pa.Table:
+    """Verdict from CHECKPOINTED gate flags (the resumable path — text is
+    never re-read for the verdict)."""
+    drops = _cached_dropsets(drops_ref)
+    ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    q = batch["quality_ok"].to_numpy(zero_copy_only=False).astype(bool)
+    s = batch["has_secret"].to_numpy(zero_copy_only=False).astype(bool)
+    return _verdict_table(ids, q, s, drops)
+
+
+def curation_doc_stats(batch: pa.Table, *, num_hashes: int = 128,
+                       shingle_k: int = 5) -> pa.Table:
+    """ONE fused per-wave scan emitting everything the global curation
+    steps need per doc — gate flags, exact-dedup sha, MinHash signature —
+    so the resumable path reads each input byte once (candidate-pair
+    verification later re-reads only the candidate docs)."""
+    from ..functions.hashing import sha256_column
+    from ..stages.dedup import MinHasher
+    g = _gates_batch(batch)
+    sig = MinHasher(num_hashes=num_hashes, shingle_k=shingle_k)(batch)
+    return pa.Table.from_pydict({
+        "doc_id": g["doc_id"],
+        "quality_ok": g["quality_ok"],
+        "has_secret": g["has_secret"],
+        "text_sha": sha256_column(batch["text"]),
+        "signature": sig["signature"],
+    })
+
+
+def _input_bytes(ds) -> int | None:
+    """On-disk bytes of a read-based Dataset's input files (O(1) metadata;
+    None when the plan doesn't expose files — e.g. transformed or
+    in-memory inputs)."""
+    import os
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        return sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return None
+
+
 def curation_pipeline(ds, neardup_threshold: float = 0.7,
                       num_buckets: int = 32, mode: str = "auto",
-                      broadcast_limit: int = 5_000_000):
+                      broadcast_limit: int = 5_000_000,
+                      max_inmemory_bytes: int = 8 << 30):
     """documents (doc_id, text) → per-doc curation verdict table
     (doc_id, quality_ok, has_secret, is_exact_rep, near_keep, kept,
     reason).
@@ -154,9 +217,18 @@ def curation_pipeline(ds, neardup_threshold: float = 0.7,
     ``mode="auto"``: single-verdict-scan shape with broadcast drop-id sets
     (see module docstring), falling back to ``"join"`` when either drop
     set exceeds ``broadcast_limit``. ``mode="join"`` forces the
-    bucketed-join shape (the fallback's own contract)."""
+    bucketed-join shape (the fallback's own contract).
+
+    The multi-consumer input pin is SIZE-GATED (r4 verdict item): above
+    ``max_inmemory_bytes`` of on-disk input the corpus streams and each
+    consumer re-scans the source instead of pinning it in the object
+    store; the resumable production entry at that scale is
+    ``state.lineage.run_resumable_curation`` (wave-checkpointed doc
+    stats, kill-resume test-pinned byte-identical)."""
     import ray
-    ds = ds.materialize()          # dedups + verdict scan consume it
+    sz = _input_bytes(ds)
+    if sz is None or sz <= max_inmemory_bytes:
+        ds = ds.materialize()      # dedups + verdict scan consume it
     if mode == "auto":
         try:
             exact = _exact_drop_ids(ds, num_buckets, broadcast_limit)

@@ -240,19 +240,24 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
 def minhash_lsh_candidates(ds, num_hashes: int = 128, num_bands: int = 32,
                            shingle_k: int = 5,
                            pair_driver_limit: int = 25_000_000,
-                           max_bucket: int = 1000):
+                           max_bucket: int = 1000, sigs=None):
     """documents → candidate near-dup pairs (doc_id_a < doc_id_b, deduped).
 
     explode to band rows → ``groupby(band_id, band_hash)`` → pairs within
-    bucket → global pair dedup."""
-    # task-based sketch: MinHasher init is a trivial seeded randint and the
-    # kernel is whole-batch vectorized, so a stateless task stage avoids
-    # the autoscaling actor-pool ramp entirely
-    sigs = ds.map_batches(_sketch_batch,
-                          fn_kwargs={"num_hashes": num_hashes,
-                                     "shingle_k": shingle_k,
-                                     "emit_shingles": False},
-                          batch_format="pyarrow")
+    bucket → global pair dedup. ``sigs`` (a precomputed ``(doc_id,
+    signature)`` Dataset — e.g. the wave-checkpointed sketch of the
+    resumable curation path) skips the sketch scan entirely."""
+    if sigs is None:
+        # task-based sketch: MinHasher init is a trivial seeded randint and
+        # the kernel is whole-batch vectorized, so a stateless task stage
+        # avoids the autoscaling actor-pool ramp entirely
+        sigs = ds.map_batches(_sketch_batch,
+                              fn_kwargs={"num_hashes": num_hashes,
+                                         "shingle_k": shingle_k,
+                                         "emit_shingles": False},
+                              batch_format="pyarrow")
+    else:
+        sigs = sigs.select_columns(["doc_id", "signature"])
     bands = sigs.map_batches(lambda b: _band_rows(b, num_bands),
                              batch_format="pyarrow")
 
@@ -867,7 +872,10 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, mode: str = "auto",
     import pyarrow.compute as pc
     import ray
     shingle_k = kw.get("shingle_k", 5)
-    if mode == "auto":
+    sigs = kw.pop("sigs", None)
+    if sigs is not None:
+        kw["sigs"] = sigs            # lsh_candidates consumes it
+    if mode == "auto" and sigs is None:
         try:
             n = ds.count()
         except Exception:

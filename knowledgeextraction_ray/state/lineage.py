@@ -142,8 +142,8 @@ def write_partitioned_triples(triples_ds, out_dir: str,
     return [os.path.join(tdir, f) for f in sorted(os.listdir(tdir))]
 
 
-def _invalidate_stale_waves(out_dir: str, waves: list[list[str]],
-                            cfg: PipelineConfig) -> list[int]:
+def _invalidate_stale_parts(part_root: str, waves: list[list[str]],
+                            cfg_json: dict) -> list[int]:
     """Resume is valid only if a landed partition still matches TODAY's run
     plan: same wave assignment (input files, order-sensitive — assignments
     are deterministic slices of the sorted file list) and same pipeline
@@ -151,16 +151,14 @@ def _invalidate_stale_waves(out_dir: str, waves: list[list[str]],
     changed, or a partition beyond the current wave count — is removed and
     recomputed rather than silently combined with fresh waves (round-1
     ADVICE: existence-only resume merged stale checkpoints)."""
-    mdir = os.path.join(out_dir, "mentions")
     stale: list[int] = []
-    if not os.path.isdir(mdir):
+    if not os.path.isdir(part_root):
         return stale
-    cfg_json = json.loads(cfg.to_json())
-    for name in sorted(os.listdir(mdir)):
+    for name in sorted(os.listdir(part_root)):
         if not name.startswith("part-"):
             continue
         w = int(name.split("-")[1])
-        mpath = os.path.join(mdir, name, "manifest.json")
+        mpath = os.path.join(part_root, name, "manifest.json")
         ok = False
         if w < len(waves) and os.path.exists(mpath):
             with open(mpath) as f:
@@ -168,9 +166,15 @@ def _invalidate_stale_waves(out_dir: str, waves: list[list[str]],
             ok = (man.get("input_files") == waves[w]
                   and man.get("config") == cfg_json)
         if not ok:
-            shutil.rmtree(os.path.join(mdir, name))
+            shutil.rmtree(os.path.join(part_root, name))
             stale.append(w)
     return stale
+
+
+def _invalidate_stale_waves(out_dir: str, waves: list[list[str]],
+                            cfg: PipelineConfig) -> list[int]:
+    return _invalidate_stale_parts(os.path.join(out_dir, "mentions"),
+                                   waves, json.loads(cfg.to_json()))
 
 
 def _stabilize_fsspec_http_import() -> None:
@@ -196,6 +200,153 @@ def _stabilize_fsspec_http_import() -> None:
 
     mod.HTTPFileSystem = HTTPFileSystem
     sys.modules["fsspec.implementations.http"] = mod
+
+
+def _run_curation_wave(wave: int, files: list[str], out_dir: str,
+                       cfg_json: dict) -> None:
+    """One wave of the resumable curation path: the fused per-doc stats
+    scan (gates + sha + MinHash signature, ``curation_doc_stats``) lands
+    atomically under ``out/docstats/part-<wave>/`` with a manifest."""
+    import ray.data as rd
+
+    from ..pipelines.curation import curation_doc_stats
+
+    part_dir = os.path.join(out_dir, "docstats", f"part-{wave:04d}")
+    tmp = tempfile.mkdtemp(prefix=f"cwave{wave}_", dir=out_dir)
+    try:
+        stats = rd.read_parquet(files).map_batches(
+            curation_doc_stats,
+            fn_kwargs={"num_hashes": cfg_json["num_hashes"],
+                       "shingle_k": cfg_json["shingle_k"]},
+            batch_format="pyarrow")
+        stats.write_parquet(tmp)
+        n_docs = pq.read_table(tmp, columns=["doc_id"]).num_rows
+        manifest = {"wave": wave, "input_files": files,
+                    "counters": {"n_docs": n_docs,
+                                 "n_files_in": len(files)},
+                    "config": cfg_json}
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.makedirs(os.path.dirname(part_dir), exist_ok=True)
+        os.rename(tmp, part_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def write_partitioned_verdicts(verdict_ds, out_dir: str,
+                               num_partitions: int) -> list[str]:
+    """Deterministic final write: one Parquet file per doc_id-hash
+    partition, rows sorted by doc_id — re-runs are byte-identical and a
+    reader can prune by partition file (the triple-write contract applied
+    to the curation verdict table)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import splitmix64
+
+    vdir = os.path.join(out_dir, "verdict")
+    tmp = tempfile.mkdtemp(prefix="verdict_", dir=out_dir)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pid = (splitmix64(ids) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("partition_id", pa.array(pid))
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["partition_id"].iloc[0])
+        g = g.drop(columns=["partition_id"]).sort_values(
+            "doc_id", kind="mergesort")
+        table = from_pandas_clean(g.reset_index(drop=True),
+                                  preserve_index=False)
+        pq.write_table(table, os.path.join(tmp, f"part-{pid:04d}.parquet"))
+        return from_pandas_clean(pd.DataFrame({"partition_id": [pid],
+                                               "n_docs": [len(g)]}))
+
+    stats = (verdict_ds.map_batches(add_pid, batch_format="pyarrow")
+             .groupby("partition_id")
+             .map_groups(write_part, batch_format="pandas")
+             .to_pandas())
+    manifest = {
+        "partitions": {int(r.partition_id): int(r.n_docs)
+                       for r in stats.itertuples()},
+        "n_docs": int(stats["n_docs"].sum()),
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)
+    os.rename(tmp, vdir)
+    return [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))]
+
+
+def run_resumable_curation(input_dir: str, out_dir: str,
+                           neardup_threshold: float = 0.7,
+                           num_waves: int = 4,
+                           stop_after_waves: int | None = None,
+                           num_partitions: int = 16,
+                           num_buckets: int = 32,
+                           broadcast_limit: int = 5_000_000) -> dict:
+    """Resumable curation flagship — the over-``max_inmemory_bytes`` path
+    of ``pipelines.curation.curation_pipeline`` (r4 verdict item 5), with
+    the same wave-checkpoint contract as ``run_resumable_kg``:
+
+    - each wave's fused per-doc stats (gates + sha + signature) land
+      atomically with a manifest; on re-run completed waves are skipped
+      and stale ones invalidated;
+    - the GLOBAL steps (exact drops, LSH candidates from the checkpointed
+      signatures, candidate-only verify against the raw corpus, verdict)
+      read the checkpoints — the corpus text is re-read only for
+      candidate docs;
+    - the verdict table is written one file per doc_id-hash partition,
+      rows sorted — byte-identical across kill-resume (test-pinned).
+
+    Returns a run report."""
+    import ray.data as rd
+
+    from ..pipelines import curation as cur
+
+    os.makedirs(out_dir, exist_ok=True)
+    input_files = sorted(os.path.join(input_dir, f)
+                         for f in os.listdir(input_dir)
+                         if f.endswith(".parquet"))
+    waves = wave_assignments(input_files, num_waves)
+    cfg_json = {"neardup_threshold": neardup_threshold,
+                "num_hashes": 128, "shingle_k": 5}
+    part_root = os.path.join(out_dir, "docstats")
+    stale = _invalidate_stale_parts(part_root, waves, cfg_json)
+    done = {w for w in range(num_waves)
+            if os.path.exists(os.path.join(part_root, f"part-{w:04d}",
+                                           "manifest.json"))}
+    report = {"skipped_waves": sorted(done), "ran_waves": [],
+              "invalidated_waves": stale}
+    ran = 0
+    for w, files in enumerate(waves):
+        if w in done or not files:
+            continue
+        if stop_after_waves is not None and ran >= stop_after_waves:
+            report["stopped_early"] = True
+            return report
+        _run_curation_wave(w, files, out_dir, cfg_json)
+        report["ran_waves"].append(w)
+        ran += 1
+
+    # global steps from the checkpoints (text re-read only for candidates)
+    import ray
+    stats = rd.read_parquet(part_root, file_extensions=["parquet"])
+    docs = rd.read_parquet(input_files)
+    exact = cur._exact_drop_ids(None, num_buckets, broadcast_limit,
+                                sha_ds=stats)
+    near = cur._near_drop_ids(docs, neardup_threshold, broadcast_limit,
+                              sigs=stats)
+    ref = ray.put({"exact": exact, "near": near})
+    verdict = stats.select_columns(
+        ["doc_id", "quality_ok", "has_secret"]).map_batches(
+        cur._verdict_flags_scan, fn_kwargs={"drops_ref": ref},
+        batch_format="pyarrow")
+    files = write_partitioned_verdicts(verdict, out_dir, num_partitions)
+    report["verdict_files"] = files
+    return report
 
 
 def run_resumable_kg(sf_dir: str, out_dir: str,

@@ -114,3 +114,74 @@ def test_concurrent_waves_byte_identical(corpus_ready, out_dirs):
                            max_concurrent_waves=3)
     assert rep["ran_waves"] == [0, 1, 2]
     assert _file_bytes(dir_a) == _file_bytes(dir_b)
+
+
+def _make_docs_dir(tmp_path, n_shards=4, per_shard=60):
+    """Tiny sharded documents table with planted exact/near dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    base = ("the quick brown fox jumps of the dog and then the fox runs "
+            "to a large house of words with many more tokens inside. ")
+    j = 0
+    for s in range(n_shards):
+        ids, txts = [], []
+        for k in range(per_shard):
+            if j % 9 == 4:
+                t = base * 3                        # exact-dup cluster
+            elif j % 9 == 7:
+                t = base * 3 + f" tail {j}"         # near-dup of the above
+            elif j % 17 == 3:
+                t = base + " AKIA" + "B" * 16       # secret
+            elif j % 23 == 5:
+                t = "x y"                           # low quality
+            else:
+                t = base.replace("fox", f"tok{j}x") * 3 + f" uniq {j}"
+            ids.append(j)
+            txts.append(t)
+            j += 1
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(txts)}),
+                       os.path.join(d, f"shard-{s:03d}.parquet"))
+    return d
+
+
+def _verdict_bytes(d):
+    vd = os.path.join(d, "verdict")
+    return {f: open(os.path.join(vd, f), "rb").read()
+            for f in sorted(os.listdir(vd))}
+
+
+def test_curation_kill_resume_byte_identical(ray_session, tmp_path):
+    """Resumable curation (r5): kill after 2 waves → resume → verdict
+    partition files byte-identical to a clean one-shot run, and the table
+    equals the in-memory curation_pipeline verdict."""
+    import ray.data as rd
+
+    from knowledgeextraction_ray.pipelines.curation import curation_pipeline
+    from knowledgeextraction_ray.state.lineage import run_resumable_curation
+    docs = _make_docs_dir(tmp_path)
+    dir_a = str(tmp_path / "cur_a")
+    dir_b = str(tmp_path / "cur_b")
+
+    rep_a = run_resumable_curation(docs, dir_a, num_waves=4)
+    assert rep_a["ran_waves"] == [0, 1, 2, 3]
+
+    rep_b1 = run_resumable_curation(docs, dir_b, num_waves=4,
+                                    stop_after_waves=2)
+    assert rep_b1.get("stopped_early")
+    rep_b2 = run_resumable_curation(docs, dir_b, num_waves=4)
+    assert rep_b2["skipped_waves"] == [0, 1]
+    assert rep_b2["ran_waves"] == [2, 3]
+    assert _verdict_bytes(dir_a) == _verdict_bytes(dir_b)
+
+    # wave-path verdict ≡ in-memory pipeline verdict
+    import pandas as pd
+    wave = (rd.read_parquet(os.path.join(dir_a, "verdict"),
+                            file_extensions=["parquet"]).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    mem = (curation_pipeline(
+        rd.read_parquet(docs, file_extensions=["parquet"])).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(wave, mem[wave.columns])
