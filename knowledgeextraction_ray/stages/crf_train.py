@@ -219,9 +219,41 @@ def _save_ckpt(resume_dir: str, entries: list) -> None:
     os.replace(tmp, path)          # atomic: a killed run never half-writes
 
 
+def _feature_cache(ds, cache_root: str, name: str):
+    """Featurize ONCE into a durable Parquet partition (atomic: tempdir +
+    rename) and return a Dataset that STREAMS it per epoch — the
+    reference's load-if-exists TFRecord feature cache
+    (``run_mrc_albert.py:281-308``, S6/S16) made first-class: epochs read
+    from disk instead of pinning the featurized set in the object store,
+    and a rerun pointing at the same ``cache_dir`` skips featurization
+    entirely. Like the reference's cache, the directory is keyed by the
+    caller — point different corpora at different dirs."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    part = os.path.join(cache_root, name)
+    if not os.path.exists(os.path.join(part, "_DONE")):
+        tmp = tempfile.mkdtemp(prefix=f"feat_{name}_", dir=cache_root)
+        try:
+            ds.map_batches(featurize_crf_batch,
+                           batch_format="pyarrow").write_parquet(tmp)
+            with open(os.path.join(tmp, "_DONE"), "w") as f:
+                f.write("ok")
+            if os.path.exists(part):
+                shutil.rmtree(part)
+            os.rename(tmp, part)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    return rd.read_parquet(part, file_extensions=["parquet"])
+
+
 def train_crf_transitions(train_ds, dev_ds, epochs: int = 3,
                           with_nll: bool = False,
-                          resume_dir: str | None = None):
+                          resume_dir: str | None = None,
+                          cache_dir: str | None = None):
     """Run the perceptron training loop; returns (metrics DataFrame — one
     row per epoch, integer columns except ``train_nll`` — and the final
     (K, K) int64 transition matrix).
@@ -235,11 +267,25 @@ def train_crf_transitions(train_ds, dev_ds, epochs: int = 3,
     (epoch rows + T) is atomically written after every epoch, and a rerun
     recomputes ONLY the remaining epochs. Because every epoch quantity is
     integer-exact and block-layout independent, resumed ≡ fresh
-    bit-for-bit (test-pinned)."""
-    feat_train = train_ds.map_batches(
-        featurize_crf_batch, batch_format="pyarrow").materialize()
-    feat_dev = dev_ds.map_batches(
-        featurize_crf_batch, batch_format="pyarrow").materialize()
+    bit-for-bit (test-pinned).
+
+    ``cache_dir``: durable feature cache (see ``_feature_cache``) — the
+    big-corpus mode: featurized train/dev land on Parquet once and every
+    epoch streams from disk, bounding memory and making reruns skip
+    featurization. Default (None) keeps the in-memory pin — right for
+    small corpora where the features fit the object store comfortably.
+    Cached ≡ in-memory bit-for-bit (test-pinned; featurization is
+    deterministic and epoch math is block-layout independent)."""
+    if cache_dir is not None:
+        import os
+        os.makedirs(cache_dir, exist_ok=True)
+        feat_train = _feature_cache(train_ds, cache_dir, "train")
+        feat_dev = _feature_cache(dev_ds, cache_dir, "dev")
+    else:
+        feat_train = train_ds.map_batches(
+            featurize_crf_batch, batch_format="pyarrow").materialize()
+        feat_dev = dev_ds.map_batches(
+            featurize_crf_batch, batch_format="pyarrow").materialize()
     entries = (_load_ckpt(resume_dir) if resume_dir else [])[:epochs]
     rows = [dict(en["row"]) for en in entries]
     T = np.asarray(entries[-1]["T_after"], dtype=np.int64) if entries \

@@ -272,6 +272,41 @@ def test_train_resume_equals_fresh(ray_session, tmp_path):
         ["epochs"][0]["T_after"])).all()
 
 
+def test_train_cached_features_equal_inmemory(ray_session, tmp_path):
+    """Durable feature cache (r5, the reference's TFRecord cache S6/S16):
+    cached epochs stream from Parquet and must equal the in-memory run
+    bit-for-bit; a rerun reuses the landed cache (no re-featurize), and
+    cached + resume together still equal fresh."""
+    import json
+    import os
+
+    train = rd.from_arrow(_records(EDGE_ROWS))
+    dev = rd.from_arrow(_records(EDGE_ROWS))
+    cdir = str(tmp_path / "feats")
+    mc, Tc = train_crf_transitions(train, dev, epochs=3, cache_dir=cdir)
+    mf, Tf = train_crf_transitions(train, dev, epochs=3)
+    pd.testing.assert_frame_equal(mc.drop(columns=["train_nll"]),
+                                  mf.drop(columns=["train_nll"]))
+    assert (Tc == Tf).all()
+    assert os.path.exists(os.path.join(cdir, "train", "_DONE"))
+    # rerun reuses the cache: mutate a cache-dir sentinel and check it
+    # survives (rename-on-rebuild would remove it)
+    probe = os.path.join(cdir, "train", "_probe")
+    open(probe, "w").write("x")
+    mc2, Tc2 = train_crf_transitions(train, dev, epochs=3, cache_dir=cdir)
+    assert os.path.exists(probe)
+    assert (Tc2 == Tf).all()
+    # cached + epoch-resume ≡ fresh
+    rdir = str(tmp_path / "ckpt")
+    train_crf_transitions(train, dev, epochs=2, resume_dir=rdir,
+                          cache_dir=cdir)
+    mr, Tr = train_crf_transitions(train, dev, epochs=3, resume_dir=rdir,
+                                   cache_dir=cdir)
+    pd.testing.assert_frame_equal(mr.drop(columns=["train_nll"]),
+                                  mf.drop(columns=["train_nll"]))
+    assert (Tr == Tf).all()
+
+
 def test_trained_transitions_serve_equals_constraint_decode(corpus_ready):
     """Train → serve: Viterbi inference with the LEARNED matrix equals the
     hand-coded-BIO-constraint decode on the real corpus (margins ≥ 5 beat
