@@ -237,7 +237,7 @@ def lcs_alignment_fast_batch(pairs):
     # fused sub-batches trade loop overhead for cache misses ~evenly,
     # while the banded layout cuts footprint ~5× per file)
     MAX_CELLS = int(os.environ.get("KGRAY_LCS_BATCH_CELLS",
-                                   8 * 1024 * 1024))
+                                   4 * 1024 * 1024))
     pos = 0
     while pos < len(order):
         # grow the sub-batch until the padded cell budget is hit — cells
@@ -269,12 +269,23 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
     """First band round of the DP for ``batch`` pairs, padded to
     (n_max, m_max). Yields per pair: the alignment maps, ``None``
     (mismatch), or ``"fallback"`` (0.8·n bar missed — needs the doubled
-    band, i.e. the scalar-path second round)."""
+    band, i.e. the scalar-path second round).
+
+    The forward pass walks ROWS, not anti-diagonals (r5): the in-row
+    left-dependency ``f[i, j-1]`` resolves in one
+    ``np.maximum.accumulate`` because row values are monotone in j
+    (``f[i,j] = max(up, diag_cand, f[i,j-1])`` ⇒ each row is the running
+    max of ``a[j] = max(up, diag_cand)``). That HALVES the Python-loop
+    iterations (n rows vs n+m diagonals), reads up/diag as direct
+    contiguous slices of one previous-row buffer (no reversed token
+    mirror, no per-diagonal copies), and halves the choice-matrix
+    footprint — so sub-batches stack ~2× more files per cell budget.
+    Tables and backtrace remain bit-identical to the scalar DP
+    (test-pinned)."""
     B = len(batch)
     ns = np.array([len(o) for o, _ in batch], dtype=np.int64)
     ms = np.array([len(t) for _, t in batch], dtype=np.int64)
     band = np.abs(ns - ms) + 5
-    d_last = ns + ms - 2
 
     norms = [_norm_chars(o) for o, _ in batch]
     # fixed-width unicode dtype (NOT object — object == is a Python call
@@ -288,96 +299,86 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
     for f, ((_, t), a) in enumerate(zip(batch, norms)):
         na[f, :len(a)] = a
         tk[f, :len(t)] = list(t)
-    # match is evaluated per diagonal on the band slice only (a full
-    # B×n×m match matrix costs ~13× the band's comparisons)
+    if width == 1:
+        # every normalized char is a single codepoint → compare uint32
+        # views instead of unicode strings (measured 3.7× faster; the hot
+        # match compare is the kernel's largest C-side cost)
+        na = na.view(np.uint32)
+        tk = tk.view(np.uint32)
 
-    # move codes SHIFTED by 2 vs the scalar path (0 = never-written =
-    # out-of-band = the scalar's -1 break) so G can be calloc'd:
-    # 1 = break, 2 = up, 3 = left, 4 = diag.
-    # Storage is BANDED (r4): (B, diagonal, i - GLO[diagonal]) — only
-    # in-band cells exist, writes are contiguous per diagonal (the dense
-    # (B, n, m) scatter was strided), and the smaller footprint lets the
-    # caller stack ~5× more files per sub-batch. Allocated after the band
-    # bounds below; backtrace indexes via (i+j, i - GLO[i+j]).
-    fm1 = np.zeros((B, n_max + 1), dtype=np.int32)
-    fm2 = np.zeros((B, n_max + 1), dtype=np.int32)
-    cur = np.zeros((B, n_max + 1), dtype=np.int32)
+    # per-(row, file) band bounds in two broadcast ops: scalar row i scans
+    # j ∈ [i - band, i + band - 1] ∩ [0, m-1]; rows ≥ n are inactive
+    ii_col = np.arange(n_max, dtype=np.int64)[:, None]
+    JLO = np.maximum(0, ii_col - band[None, :])            # (n_max, B)
+    JHI = np.minimum(ms[None, :] - 1, ii_col + band[None, :] - 1)
+    act = ii_col < ns[None, :]
+    big = np.iinfo(np.int64).max
+    JL = np.where(act & (JLO <= JHI), JLO, big).min(axis=1)   # (n_max,)
+    JH = np.where(act & (JLO <= JHI), JHI, -1).max(axis=1)
+    JL = np.where(JL == big, 0, JL)
+    W = max(1, int((JH - JL).max()) + 1)
+
+    # move codes SHIFTED by 2 vs the scalar path (1 = the scalar's -1
+    # break): 1 = break, 2 = up, 3 = left, 4 = diag. Storage is
+    # row-banded: (B, row, j - JL[row]); backtrace indexes via
+    # (i, j - JL[i]) and detects out-of-band cells by BAND ARITHMETIC
+    # (j within [i - band, i + band - 1] ∩ [0, m-1], i < n), so the
+    # forward loop never masks the g write.
+    Gb = np.zeros((B, n_max, W), dtype=np.int8)
+    # previous/current row buffers indexed by j+1 (index 0 = the j == -1
+    # sentinel, so diag = buf[:, j] and up = buf[:, j+1] need no masking)
+    prev = np.zeros((B, m_max + 2), dtype=np.int32)
+    curb = np.zeros((B, m_max + 2), dtype=np.int32)
     last = np.zeros(B, dtype=np.int32)
-
-    # per-file band bounds for EVERY diagonal in two broadcast ops (the
-    # per-diagonal vector math was ~40% of the loop's ufunc-call overhead)
-    D = int(d_last.max()) + 1
-    dd = np.arange(D, dtype=np.int64)[:, None]
-    ILO = np.maximum(np.maximum(0, dd - ms + 1), -((band - 1 - dd) // 2))
-    IHI = np.minimum(np.minimum(ns - 1, dd), (dd + band) // 2)
-    GLO = ILO.min(axis=1)
-    GHI = IHI.max(axis=1)
-    W = max(1, int((GHI - GLO).max()) + 1)
-    Gb = np.zeros((B, D, W), dtype=np.int8)
     capture: dict[int, list[int]] = {}
-    for f, dl in enumerate(d_last):
-        capture.setdefault(int(dl), []).append(f)
-
-    # pre-reversed token matrix: the anti-diagonal's j indices DESCEND as i
-    # ascends, so the natural slice needs a [::-1] stride — comparing
-    # against tkr's contiguous mirror slice instead keeps the hot compare
-    # on unit stride (tkr[:, m_max-1-j] == tk[:, j])
-    tkr = tk[:, ::-1].copy()
+    for f, nf in enumerate(ns):
+        capture.setdefault(int(nf) - 1, []).append(f)
 
     # rolling buffers hold zeros OUTSIDE their last write window — zero
-    # only that window on reuse instead of the full (B, n_max+1) memset
-    # per diagonal (~n_max/band × the useful traffic)
-    win1 = win2 = winc = (0, 0)
-    two, three, four = np.int8(2), np.int8(3), np.int8(4)
-    for d in range(D):
-        i_lo_f, i_hi_f = ILO[d], IHI[d]
-        gi_lo = int(GLO[d])
-        gi_hi = int(GHI[d])
-        cur[:, winc[0]:winc[1]] = 0
-        winc = (0, 0)
-        if gi_lo <= gi_hi:
-            gi = np.arange(gi_lo, gi_hi + 1)
-            valid = (i_lo_f[:, None] <= gi) & (gi <= i_hi_f[:, None])
-            up = fm1[:, gi_lo:gi_hi + 1]
-            if gi_hi == d:                     # the j == 0 element needs
-                left = fm1[:, gi_lo + 1:gi_hi + 2].copy()   # an edit —
-                diag = fm2[:, gi_lo:gi_hi + 1].copy()       # copy only then
-                left[:, -1] = 0
-                diag[:, -1] = 0
-            else:
-                left = fm1[:, gi_lo + 1:gi_hi + 2]
-                diag = fm2[:, gi_lo:gi_hi + 1]
-            # anti-diagonal band slice: na[f, i] vs tk[f, d - i], read from
-            # the contiguous mirror
-            match = na[:, gi_lo:gi_hi + 1] == \
-                tkr[:, m_max - 1 - d + gi_lo:m_max - d + gi_hi]
-            if gi_lo == 0:                     # the i == 0 element: f0 = 0
-                f0 = up.astype(np.int32)       # (copy: column 0 edited)
-                f0[:, 0] = 0
-            else:
-                f0 = up                        # read-only — no copy
-            use_l = left > f0
-            f1 = np.where(use_l, left, f0)
-            use_d = match & (diag + 1 > f1)
-            g = np.where(use_d, four, np.where(use_l, three, two))
-            if gi_lo == 0:                     # untaken i == 0 = break
-                g[:, 0] = np.where(use_d[:, 0], four,
-                                   np.where(use_l[:, 0], three, np.int8(1)))
-            res = np.where(use_d, diag + 1, f1)
-            cur[:, gi_lo + 1:gi_hi + 2] = np.where(valid, res, 0)
-            winc = (gi_lo + 1, gi_hi + 2)
-            Gb[:, d, :gi_hi - gi_lo + 1] = np.where(valid, g, 0)
-        for f in capture.get(d, ()):           # capture f[n-1, m-1]
-            last[f] = cur[f, ns[f]]
-        fm2, fm1, cur = fm1, cur, fm2
-        win2, win1, winc = win1, winc, win2
+    # only that window on reuse instead of the full (B, m_max+2) memset
+    # (pre-building whole-sub-batch VALID/MATCH tensors measured ~45%
+    # SLOWER than these per-row ops — the (n, B, W) temporaries cost more
+    # memory traffic than the per-row windows they replace)
+    win_prev = win_cur = (0, 0)
+    one, two = np.int8(1), np.int8(2)
+    three, four = np.int8(3), np.int8(4)
+    for i in range(n_max):
+        jl, jh = int(JL[i]), int(JH[i])
+        w = jh - jl + 1
+        curb[:, win_cur[0]:win_cur[1]] = 0
+        win_cur = (0, 0)
+        if jl <= jh:
+            js = np.arange(jl, jh + 1)
+            valid = (JLO[i][:, None] <= js) & (js <= JHI[i][:, None])
+            up = prev[:, jl + 1:jh + 2]            # f[i-1, j]
+            diag = prev[:, jl:jh + 1]              # f[i-1, j-1]
+            match = na[:, i][:, None] == tk[:, jl:jh + 1]
+            dgc = np.where(match, diag + 1, 0)
+            a = np.where(valid, np.maximum(up, dgc), 0)
+            F = np.maximum.accumulate(a, axis=1)   # = the row's f values
+            leftv = np.empty_like(F)
+            leftv[:, 0] = 0              # left of the window = stale zero
+            leftv[:, 1:] = F[:, :-1]
+            # dgc is 0 at non-match and max(up, leftv) ≥ 0, so the strict
+            # > already implies match — no extra & needed
+            use_d = dgc > np.maximum(up, leftv)
+            base = one if i == 0 else two          # untaken row-0 = break
+            g = np.where(use_d, four, np.where(leftv > up, three, base))
+            curb[:, jl + 1:jh + 2] = np.where(valid, F, 0)
+            win_cur = (jl + 1, jh + 2)
+            Gb[:, i, :w] = g       # unmasked: backtrace breaks by band
+        for f in capture.get(i, ()):               # capture f[n-1, m-1]
+            last[f] = curb[f, ms[f]]
+        prev, curb = curb, prev
+        win_prev, win_cur = win_cur, win_prev
 
-    # backtrace, vectorized ACROSS FILES like the forward pass (the per-file
-    # Python walk measured as HALF the kernel): every eligible file steps
-    # its (i, j) cursor in lockstep — one gather from the banded choice
-    # matrix plus a handful of (B,) mask ops per step, ≤ D steps total
-    # because each live step decreases i + j by at least one. Move codes
-    # and the c <= 1 break are exactly the scalar walk's.
+    # backtrace, vectorized ACROSS FILES like the forward pass (the
+    # per-file Python walk measured as HALF the kernel): every eligible
+    # file steps its (i, j) cursor in lockstep — one gather from the
+    # row-banded choice matrix plus a handful of (B,) mask ops per step,
+    # ≤ n+m steps total because each live step decreases i + j by at
+    # least one. Move codes and the c <= 1 break are exactly the scalar
+    # walk's.
     eligible = last > 0.8 * ns.astype(np.float64)
     o2c = np.full((B, n_max), -1, dtype=np.int32)
     c2o = np.full((B, m_max), -1, dtype=np.int32)
@@ -386,10 +387,14 @@ def _lcs_batch_round1(batch, n_max: int, m_max: int):
     jj = ms - 1
     active = eligible & (ii >= 0) & (jj >= 0)
     while active.any():
-        d = np.where(active, ii + jj, 0)
-        off = np.where(active, ii - GLO[d], 0)
-        inb = (off >= 0) & (off < W)
-        c = Gb[bidx, d, np.where(inb, off, 0)]
+        i_ = np.where(active, ii, 0)
+        off = np.where(active, jj - JL[i_], 0)
+        # out-of-band break by band arithmetic (the forward loop writes g
+        # unmasked): the scalar walk breaks where no g entry exists, i.e.
+        # outside j ∈ [i - band, i + band - 1]
+        inb = (jj >= ii - band) & (jj < ii + band) & \
+            (off >= 0) & (off < W)
+        c = Gb[bidx, i_, np.where(inb, off, 0)]
         live = active & inb & (c > 1)          # untouched / explicit break
         m4 = live & (c == 4)
         if m4.any():

@@ -600,14 +600,16 @@ def _token_feature_rows(example_ids, qtypes, contexts, patterns,
     uniq = list(dict.fromkeys(contexts))
     map_cache: dict[str, object] = dict(
         zip(uniq, _context_token_maps_batch(uniq, tokenize)))
+    # the 4 questions are CONSTANT: tokenize each once per batch, not once
+    # per example (the per-example call was ~20% of the SP batch cost)
+    q_len_of = {qt: len((tokenize or sp_tokenize)(
+        QUESTIONS[qt])[:max_query_length]) for qt in QUESTIONS}
     for ex_id, qtype, context in zip(example_ids, qtypes, contexts):
         m = map_cache[context]
         if m is None:
             continue                      # zero features (reference mode)
         starts, ends, n_toks = m
-        q_toks = (tokenize or sp_tokenize)(
-            QUESTIONS[qtype])[:max_query_length]
-        max_tokens_for_doc = max_seq_length - len(q_toks) - 3
+        max_tokens_for_doc = max_seq_length - q_len_of[qtype] - 3
         spans = _token_doc_spans(n_toks, max_tokens_for_doc, doc_stride)
 
         cands = []                        # (ts, te, text)
