@@ -885,10 +885,12 @@ select doc_id, term, tf, df, score_e6, cast(rnk as bigint) as rank
 from ranked where rnk <= 5
 """
 
-# the multimodal codec gate (late r4): closed form of the formula images
-# that q_media_decode_stats encodes (PNG even ids / GIF odd ids) and
-# decodes through the real codecs — stages/multimodal.synth_media_batch
-# holds the same constants
+# the multimodal codec gate (late r4, JPEG arm r5): closed form of the
+# formula images that q_media_decode_stats encodes (doc_id mod 3: 0 PNG /
+# 1 GIF / 2 baseline JPEG of a block-constant grayscale image, which
+# round-trips EXACTLY through unit quant tables) and decodes through the
+# real codecs — stages/multimodal.synth_media_batch holds the same
+# constants
 SQL_MEDIA_DECODE_STATS = """
 with xs as (select x from range(16) t(x)),
      ys as (select y from range(12) t(y)),
@@ -899,17 +901,26 @@ with xs as (select x from range(16) t(x)),
                    as bigint) as pixel_sum,
               cast(576 as bigint) as n_px
        from documents d cross join xs cross join ys cross join cs
-       where d.doc_id % 2 = 0 group by d.doc_id),
+       where d.doc_id % 3 = 0 group by d.doc_id),
      gif as (
        select d.doc_id, 'gif' as codec,
               cast(3 * sum((11*x + 17*y + 23*(d.doc_id % 89)) % 256)
                    as bigint) as pixel_sum,
               cast(576 as bigint) as n_px
        from documents d cross join xs cross join ys
-       where d.doc_id % 2 = 1 group by d.doc_id)
+       where d.doc_id % 3 = 1 group by d.doc_id),
+     jpg as (
+       select d.doc_id, 'jpeg' as codec,
+              cast(3 * sum((37*(x//8) + 41*(y//8) + 19*(d.doc_id % 79))
+                           % 256) as bigint) as pixel_sum,
+              cast(576 as bigint) as n_px
+       from documents d cross join xs cross join ys
+       where d.doc_id % 3 = 2 group by d.doc_id)
 select doc_id, codec, pixel_sum, n_px from png
 union all
 select doc_id, codec, pixel_sum, n_px from gif
+union all
+select doc_id, codec, pixel_sum, n_px from jpg
 """
 
 SQL_MEDIA_AUDIO_STATS = """

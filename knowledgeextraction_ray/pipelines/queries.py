@@ -790,14 +790,15 @@ def q_top_orders_per_customer(sf_dir: str):
 
 
 def q_media_decode_stats(sf_dir: str):
-    """The multimodal codec path, VALUE-HASH GATED (late r4): every
-    document becomes a deterministic formula image (even doc_id →
-    truecolor PNG, odd → grayscale GIF), container-encoded, then decoded
-    through the production ``DecodeImage`` dispatch (real pure-stdlib
-    codecs, no fake path) into integer pixel sums. The formulas give the
-    decoded sums a closed form DuckDB restates exactly, so one
-    mis-decoded pixel anywhere — LZW, PNG filters, interlace, palette —
-    fails the hash."""
+    """The multimodal codec path, VALUE-HASH GATED (late r4; JPEG arm
+    r5): every document becomes a deterministic formula image (doc_id
+    mod 3: 0 → truecolor PNG, 1 → grayscale GIF, 2 → baseline JPEG of a
+    block-constant grayscale image, exactly lossless through unit quant
+    tables), container-encoded, then decoded through the production
+    ``DecodeImage`` dispatch (real pure-stdlib codecs, no fake path)
+    into integer pixel sums. The formulas give the decoded sums a closed
+    form DuckDB restates exactly, so one mis-decoded pixel anywhere —
+    LZW, PNG filters, huffman decode, IDCT, palette — fails the hash."""
     from ..stages.multimodal import media_decode_stats
     return media_decode_stats(_docs(sf_dir, ["doc_id"]))
 

@@ -5,10 +5,12 @@ feature-extract / resize / frame-sample run as actor-pool ``map_batches``
 stages with SMALL batch sizes (payloads are large — batch_size × payload ×
 concurrency must fit worker heap; SURVEY.md "memory-aware").
 
-No codec LIBRARIES ship in this container, but three real formats decode
+No codec LIBRARIES ship in this container, but five real formats decode
 natively via pure-stdlib codecs: PNG (``functions/png.py``, zlib + spec
-filters), WAV (``functions/wav.py``, RIFF/PCM) and Y4M video
-(``functions/y4m.py``, YUV4MPEG2 raw planar frames). Other formats are
+filters), GIF (``functions/gif.py``, LZW), baseline JPEG
+(``functions/jpeg.py``, huffman + IDCT, r5), WAV (``functions/wav.py``,
+RIFF/PCM) and Y4M video (``functions/y4m.py``, YUV4MPEG2 raw planar
+frames). Other formats are
 STUBBED: the stages raise ``NotImplementedError`` unless ``fake=True``, in
 which case a deterministic fake decoder (seeded from the payload hash)
 produces shaped numpy output. The Ray-side plumbing — schema, actor
@@ -52,11 +54,13 @@ def make_fake_media(n: int, kind: str = "image", seed: int = 23) -> pa.Table:
 class DecodeImage:
     """Actor: binary payload → decoded pixel stats + thumbnail feature.
 
-    PNG and GIF payloads decode FOR REAL (r4): ``functions/png.py``
-    (zlib + PNG filters 0-4) and ``functions/gif.py`` (LZW, interlace,
-    GCE transparency — decoder pinned against the public spec
-    walkthrough's externally-encoded sample stream), both pure-stdlib
-    from the public specs, so two real formats flow payload → pixels →
+    PNG, GIF and baseline JPEG payloads decode FOR REAL:
+    ``functions/png.py`` (zlib + PNG filters 0-4), ``functions/gif.py``
+    (LZW, interlace, GCE transparency — decoder pinned against the
+    public spec walkthrough's externally-encoded sample stream) and
+    ``functions/jpeg.py`` (r5: huffman + dequant + IDCT + chroma
+    upsample + JFIF YCbCr→RGB per ITU-T T.81), all pure-stdlib from the
+    public specs, so three real image formats flow payload → pixels →
     features end-to-end. Other formats: pass ``fake=True`` for the
     deterministic stand-in (payload-hash-seeded pixels), else
     NotImplementedError marks the PIL/cv2 integration point for codecs
@@ -68,6 +72,7 @@ class DecodeImage:
 
     def _decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
         from ..functions.gif import decode_gif, is_gif
+        from ..functions.jpeg import decode_jpeg, is_jpeg
         from ..functions.png import decode_png, is_png
         from ..functions.y4m import decode_y4m, is_y4m
         if is_png(payload):
@@ -77,6 +82,11 @@ class DecodeImage:
             return img[:, :, :3]                  # drop alpha for stats
         if is_gif(payload):
             return decode_gif(payload)            # first frame, RGB canvas
+        if is_jpeg(payload):
+            img = decode_jpeg(payload)            # baseline JFIF (r5)
+            if img.shape[2] == 1:                 # grayscale → 3-channel
+                img = np.repeat(img, 3, axis=2)
+            return img
         if is_y4m(payload):
             # single-frame Y4M (SampleFrames output): luma as grayscale —
             # the video path composes sample_frames → decode_images real
@@ -84,8 +94,9 @@ class DecodeImage:
             return np.repeat(frames[0][0][:, :, None], 3, axis=2)
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG image codec not available in this environment; "
-                "integrate PIL/cv2 here (PNG and Y4M decode natively)")
+                "image codec not available in this environment; "
+                "integrate PIL/cv2 here (PNG, GIF, baseline JPEG and Y4M "
+                "decode natively)")
         seed = int.from_bytes(sha256(payload).digest()[:4], "big")
         rs = np.random.RandomState(seed)
         return rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -218,28 +229,40 @@ def sample_frames(ds, every_k: int = 4, batch_size: int = 32,
 IMG_W, IMG_H = 16, 12
 
 
+_JPEG_UNIT_Q = (np.ones(64, np.int64), np.ones(64, np.int64))
+
+
 def synth_media_batch(batch: pa.Table) -> pa.Table:
-    """doc_id → one deterministic formula image, container-encoded: even
-    ids as truecolor PNG (`v(x,y,c) = (7x+13y+29c+31·(id%97)) mod 256`),
-    odd ids as grayscale GIF (`g(x,y) = (11x+17y+23·(id%89)) mod 256`,
-    ≤256 distinct colors as GIF requires). The formulas are the point:
-    the decoded pixel SUM has a closed form DuckDB can restate, so the
-    codec path is value-hash gatable — a single mis-decoded pixel
-    anywhere fails the gate."""
+    """doc_id → one deterministic formula image, container-encoded by
+    doc_id mod 3: 0 → truecolor PNG (`v(x,y,c) = (7x+13y+29c+31·(id%97))
+    mod 256`), 1 → grayscale GIF (`g(x,y) = (11x+17y+23·(id%89)) mod
+    256`, ≤256 distinct colors as GIF requires), 2 → grayscale baseline
+    JPEG of a BLOCK-CONSTANT image (`j(x,y) = (37·(x//8) + 41·(y//8) +
+    19·(id%79)) mod 256`) with unit quant tables — constant 8×8 blocks
+    have only an integer DC coefficient, so baseline JPEG round-trips
+    them EXACTLY and the lossy format still gets an exact closed form.
+    The formulas are the point: the decoded pixel SUM has a closed form
+    DuckDB can restate, so the codec path is value-hash gatable — a
+    single mis-decoded pixel anywhere fails the gate."""
     from ..functions.gif import encode_gif
+    from ..functions.jpeg import encode_jpeg
     from ..functions.png import encode_png
     X, Y = np.meshgrid(np.arange(IMG_W), np.arange(IMG_H))
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for doc_id in batch["doc_id"].to_pylist():
-        if doc_id % 2 == 0:
+        if doc_id % 3 == 0:
             img = np.stack([(7 * X + 13 * Y + 29 * ch + 31 * (doc_id % 97))
                             % 256 for ch in range(3)],
                            axis=2).astype(np.uint8)
             payload = encode_png(img)
-        else:
+        elif doc_id % 3 == 1:
             g = ((11 * X + 17 * Y + 23 * (doc_id % 89)) % 256)
             payload = encode_gif(np.repeat(g[:, :, None], 3,
                                            axis=2).astype(np.uint8))
+        else:
+            j = ((37 * (X // 8) + 41 * (Y // 8) + 19 * (doc_id % 79))
+                 % 256).astype(np.uint8)
+            payload = encode_jpeg(j, qtables=_JPEG_UNIT_Q, subsample=False)
         rows["media_id"].append(str(doc_id))
         rows["kind"].append("image")
         rows["payload"].append(payload)
@@ -260,6 +283,7 @@ class MediaDecodeStats:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.gif import is_gif
+        from ..functions.jpeg import is_jpeg
         from ..functions.png import is_png
         ids, codecs, sums = [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(),
@@ -267,7 +291,8 @@ class MediaDecodeStats:
             img = self._dec._decode_one(payload, 0, 0)
             ids.append(int(mid))
             codecs.append("png" if is_png(payload)
-                          else "gif" if is_gif(payload) else "other")
+                          else "gif" if is_gif(payload)
+                          else "jpeg" if is_jpeg(payload) else "other")
             sums.append(int(img.astype(np.int64).sum()))
         n = IMG_H * IMG_W * 3
         return pa.table({
