@@ -103,7 +103,16 @@ def kg_pipeline(sf_dir: str, cfg: PipelineConfig | None = None,
         run_resumable_kg(sf_dir, out, cfg)
         return rd.read_parquet(os.path.join(out, "triples"),
                                file_extensions=["parquet"])
-    linked = linked_mentions(sf_dir, cfg).materialize()
+    # dictionary-encode the pin (r5): the linked-mention intermediate is
+    # written once and re-read by BOTH wide consumers; per-block dict
+    # encoding cuts it to ~27% (measured), relieving object-store footprint
+    # and DRAM bandwidth — the binding resource at high core counts.
+    # Ray fuses this map into the extraction tasks (no extra pass);
+    # consumers decode at entry (PartialCanonical / EmitTriples).
+    from ..functions.tables import dict_encode_strings
+    linked = linked_mentions(sf_dir, cfg) \
+        .map_batches(dict_encode_strings, batch_format="pyarrow",
+                     batch_size=None).materialize()
     canon = canonicalize_dataset(linked, cfg.canonicalize.num_salts)
     if obj_resolve != "join":
         try:

@@ -65,6 +65,9 @@ class PartialCanonical:
         (the per-row Python fold was a full-stream Python stage)."""
         import numpy as np
         import pandas as pd
+
+        from ..functions.tables import dict_decode_strings
+        batch = dict_decode_strings(batch)      # pin may be dict-encoded
         n = len(batch)
         if n == 0:
             return pa.Table.from_pydict(

@@ -87,6 +87,9 @@ class EmitTriples:
         file scale (~32 s of the flagship)."""
         import pandas as pd
         import pyarrow.compute as pc
+
+        from ..functions.tables import dict_decode_strings
+        batch = dict_decode_strings(batch)      # pin may be dict-encoded
         subj = pc.binary_join_element_wise(batch["repo"], batch["path"],
                                            ":")
         if self.skip is not None:
