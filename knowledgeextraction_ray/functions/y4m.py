@@ -125,14 +125,17 @@ def decode_y4m(data: bytes):
 def sample_frame_payloads(data: bytes, every_k: int):
     """Every k-th frame re-emitted as a STANDALONE single-frame Y4M payload
     (original stream header + that frame's bytes) → [(frame_index,
-    payload)]. Selected frames are the only bytes copied."""
+    payload, (byte_lo, byte_hi))]. Selected frames are the only bytes
+    copied; the range locates the frame (FRAME line through pixel end) in
+    the SOURCE stream."""
     meta, hdr_end = parse_header(data)
     offs = frame_offsets(data, meta, hdr_end)
     size = frame_data_size(meta)
     out = []
     for fi in range(0, len(offs), every_k):
         start, line = offs[fi]
-        out.append((fi, meta["header"] + data[line:start + size]))
+        out.append((fi, meta["header"] + data[line:start + size],
+                    (line, start + size)))
     return out
 
 

@@ -934,6 +934,11 @@ from documents d cross join ts
 group by d.doc_id
 """
 
+# video gate (r5): even doc_ids flow Y4M → frame sampling →
+# re-containering → decode; odd doc_ids flow MP4/MJPEG → ISO-BMFF
+# sample-table demux → per-frame baseline-JPEG decode (block-constant
+# frames + unit quant tables = exact) — one hash covers both container
+# paths end-to-end
 SQL_MEDIA_VIDEO_STATS = """
 with xs as (select x from range(16) t(x)),
      ys as (select y from range(12) t(y)),
@@ -942,6 +947,14 @@ select d.doc_id, cast(f as bigint) as frame_index,
        cast(3 * sum((5*x + 9*y + 11*f + 17*(d.doc_id % 73)) % 256)
             as bigint) as pixel_sum
 from documents d cross join fs cross join xs cross join ys
+where d.doc_id % 2 = 0
+group by d.doc_id, f
+union all
+select d.doc_id, cast(f as bigint) as frame_index,
+       cast(3 * sum((37*(x//8) + 41*(y//8) + 23*f + 19*(d.doc_id % 71))
+                    % 256) as bigint) as pixel_sum
+from documents d cross join fs cross join xs cross join ys
+where d.doc_id % 2 = 1
 group by d.doc_id, f
 """
 

@@ -814,10 +814,12 @@ def q_media_audio_stats(sf_dir: str):
 
 def q_media_video_stats(sf_dir: str):
     """The video path, value-hash gated end-to-end: deterministic 8-frame
-    mono Y4M per document → REAL frame sampling (``SampleFrames``,
-    every 3rd frame re-containered as standalone Y4M) → per-frame decode
-    through ``DecodeImage`` into integer luma sums. One hash covers the
-    sampling arithmetic, the re-containering, and the decode."""
+    videos per document (even doc_id → mono Y4M, odd → MP4/MJPEG, r5) →
+    REAL frame sampling (``SampleFrames``: Y4M frames re-containered
+    standalone; MP4 samples located by the ISO-BMFF sample tables, each a
+    complete baseline JPEG) → per-frame decode through ``DecodeImage``
+    into integer luma sums. One hash covers the sampling arithmetic, the
+    container demux/re-containering, and both frame decodes."""
     from ..stages.multimodal import media_video_stats
     return media_video_stats(_docs(sf_dir, ["doc_id"]))
 

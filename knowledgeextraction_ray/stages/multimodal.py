@@ -169,39 +169,66 @@ class AudioFeatures:
 class SampleFrames:
     """Actor: video rows → exploded frame rows (every k-th frame).
 
-    Y4M payloads sample FOR REAL (r4): ``functions/y4m.py`` is a
-    pure-stdlib YUV4MPEG2 codec, and each sampled frame is re-emitted as a
-    STANDALONE single-frame Y4M payload (stream header + that frame's
-    bytes — pointer arithmetic, only selected frames are copied), so the
-    frame rows feed ``DecodeImage`` directly and the video path composes
-    end-to-end decoded. Other containers (mp4/webm): the fan-out
-    bookkeeping (one video row → n frame rows via ``meta_n_frames``, whole
-    payload carried) is the real plumbing; frame extraction there is the
-    ffmpeg integration point."""
+    TWO containers sample FOR REAL: Y4M (r4, ``functions/y4m.py`` —
+    each sampled frame re-emitted as a STANDALONE single-frame Y4M
+    payload: stream header + that frame's bytes) and MP4/MJPEG (r5,
+    ``functions/mp4.py`` — the ISO-BMFF sample tables give every frame's
+    absolute byte range, and each sampled sample IS a complete baseline
+    JPEG that ``DecodeImage`` decodes natively). Both are pointer
+    arithmetic: only SELECTED frames are copied, and ``byte_lo/byte_hi``
+    record each frame's range in the source payload. Unknown containers
+    (webm, mp4 with h264/h265 bitstreams): the fan-out bookkeeping (one
+    video row → n frame rows via ``meta_n_frames``) is real, but the
+    payload column stays EMPTY and the range covers the whole source —
+    carrying the locator, not k copies of the video (a whole-payload
+    copy per frame row amplified the object store k-fold, r4 verdict);
+    the ffmpeg integration point fills real ranges."""
 
     def __init__(self, every_k: int = 4):
         self.k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mp4 import is_mp4, parse_mp4, sample_jpeg_payloads
         from ..functions.y4m import is_y4m, sample_frame_payloads
-        out = {"media_id": [], "frame_index": [], "payload": []}
+        out = {"media_id": [], "frame_index": [], "payload": [],
+               "byte_lo": [], "byte_hi": []}
+
+        def emit(mid, fi, frame, lo, hi):
+            out["media_id"].append(mid)
+            out["frame_index"].append(fi)
+            out["payload"].append(frame)
+            out["byte_lo"].append(lo)
+            out["byte_hi"].append(hi)
+
         for mid, payload, n in zip(batch["media_id"].to_pylist(),
                                    batch["payload"].to_pylist(),
                                    batch["meta_n_frames"].to_pylist()):
             if is_y4m(payload):
-                for fi, frame in sample_frame_payloads(payload, self.k):
-                    out["media_id"].append(mid)
-                    out["frame_index"].append(fi)
-                    out["payload"].append(frame)
+                for fi, frame, (lo, hi) in sample_frame_payloads(payload,
+                                                                 self.k):
+                    emit(mid, fi, frame, lo, hi)
+                continue
+            if is_mp4(payload):
+                meta = parse_mp4(payload)
+                if meta["codec"] in ("jpeg", "mjpa"):
+                    for fi, frame in sample_jpeg_payloads(payload, self.k):
+                        lo, size = meta["sample_ranges"][fi]
+                        emit(mid, fi, frame, lo, lo + size)
+                    continue
+                # demux works, bitstream does not decode here: emit the
+                # REAL per-sample ranges with empty payloads
+                for fi in range(0, meta["n_samples"], self.k):
+                    lo, size = meta["sample_ranges"][fi]
+                    emit(mid, fi, b"", lo, lo + size)
                 continue
             for fi in range(0, n, self.k):
-                out["media_id"].append(mid)
-                out["frame_index"].append(fi)
-                out["payload"].append(payload)
+                emit(mid, fi, b"", 0, len(payload))
         return pa.Table.from_pydict({
             "media_id": pa.array(out["media_id"], pa.string()),
             "frame_index": pa.array(out["frame_index"], pa.int32()),
             "payload": pa.array(out["payload"], pa.binary()),
+            "byte_lo": pa.array(out["byte_lo"], pa.int64()),
+            "byte_hi": pa.array(out["byte_hi"], pa.int64()),
         })
 
 
@@ -371,18 +398,33 @@ VIDEO_FRAMES, FRAME_EVERY_K = 8, 3
 
 
 def synth_video_batch(batch: pa.Table) -> pa.Table:
-    """doc_id → deterministic 8-frame mono Y4M: ``luma_f(x,y) = (5x + 9y
-    + 11f + 17·(id%73)) mod 256``."""
+    """doc_id → deterministic 8-frame video, container by doc_id mod 2:
+    even → mono Y4M (``luma_f(x,y) = (5x + 9y + 11f + 17·(id%73)) mod
+    256``), odd → MP4/MJPEG (r5) of BLOCK-CONSTANT grayscale frames
+    (``j_f(x,y) = (37·(x//8) + 41·(y//8) + 23·f + 19·(id%71)) mod 256``,
+    unit quant tables — exactly lossless through baseline JPEG), so the
+    gate covers BOTH real container paths: Y4M re-containering AND the
+    ISO-BMFF sample-table demux + per-frame JPEG decode."""
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.mp4 import encode_mp4_mjpeg
     from ..functions.y4m import encode_y4m
     X, Y = np.meshgrid(np.arange(IMG_W), np.arange(IMG_H))
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for doc_id in batch["doc_id"].to_pylist():
-        frames = [[((5 * X + 9 * Y + 11 * f + 17 * (doc_id % 73)) % 256)
-                   .astype(np.uint8)] for f in range(VIDEO_FRAMES)]
+        if doc_id % 2 == 0:
+            frames = [[((5 * X + 9 * Y + 11 * f + 17 * (doc_id % 73)) % 256)
+                       .astype(np.uint8)] for f in range(VIDEO_FRAMES)]
+            payload = encode_y4m(frames, IMG_W, IMG_H, colorspace=b"mono")
+        else:
+            jpgs = [encode_jpeg(
+                ((37 * (X // 8) + 41 * (Y // 8) + 23 * f
+                  + 19 * (doc_id % 71)) % 256).astype(np.uint8),
+                qtables=_JPEG_UNIT_Q, subsample=False)
+                for f in range(VIDEO_FRAMES)]
+            payload = encode_mp4_mjpeg(jpgs, IMG_W, IMG_H)
         rows["media_id"].append(str(doc_id))
         rows["kind"].append("video")
-        rows["payload"].append(encode_y4m(frames, IMG_W, IMG_H,
-                                          colorspace=b"mono"))
+        rows["payload"].append(payload)
         rows["meta_width"].append(IMG_W)
         rows["meta_height"].append(IMG_H)
         rows["meta_sample_rate"].append(0)
