@@ -166,3 +166,87 @@ def bigram_counts(tags: np.ndarray, lens: np.ndarray, K: int) -> np.ndarray:
     pairs = tags[:, :-1].astype(np.int64) * K + tags[:, 1:].astype(np.int64)
     flat = pairs[mask]
     return np.bincount(flat, minlength=K * K).reshape(K, K).astype(np.int64)
+
+
+def crf_expected_counts_ref(emissions: np.ndarray, lens: np.ndarray,
+                            transitions: np.ndarray) -> np.ndarray:
+    """Readable per-sequence forward-backward: Σ over sequences and
+    positions of the posterior bigram marginals ``P(y_t=u, y_{t+1}=v)`` —
+    the model-expectation term of the CRF log-likelihood gradient
+    (∂NLL/∂trans = expected − observed; ``crf_log_likelihood``'s gradient
+    wrt ``transition_params``, crf_albert.py:147-168)."""
+    n, L, K = emissions.shape
+    out = np.zeros((K, K), dtype=np.float64)
+    tr = np.asarray(transitions, dtype=np.float64)
+    for i in range(n):
+        T = int(lens[i])
+        if T < 2:
+            continue
+        em = emissions[i, :T].astype(np.float64)
+        alpha = np.zeros((T, K))
+        alpha[0] = em[0]
+        for t in range(1, T):
+            cand = alpha[t - 1][:, None] + tr
+            m = cand.max(axis=0)
+            alpha[t] = m + np.log(np.exp(cand - m[None, :]).sum(axis=0)) \
+                + em[t]
+        beta = np.zeros((T, K))
+        for t in range(T - 2, -1, -1):
+            cand = tr + em[t + 1][None, :] + beta[t + 1][None, :]
+            m = cand.max(axis=1)
+            beta[t] = m + np.log(np.exp(cand - m[:, None]).sum(axis=1))
+        m = alpha[T - 1].max()
+        logz = m + np.log(np.exp(alpha[T - 1] - m).sum())
+        for t in range(T - 1):
+            lp = (alpha[t][:, None] + tr + em[t + 1][None, :]
+                  + beta[t + 1][None, :] - logz)
+            out += np.exp(lp)
+    return out
+
+
+def crf_expected_counts(emissions: np.ndarray, lens: np.ndarray,
+                        transitions: np.ndarray) -> np.ndarray:
+    """Batch-vectorized :func:`crf_expected_counts_ref`: one Python step
+    per time position forward and backward, ``(N, K, K)`` broadcasts per
+    step; rows freeze at their own length so padding never contributes.
+    Accumulates the (K, K) expectation on the fly — never holds an
+    (N, L, K, K) marginal tensor."""
+    n, L, K = emissions.shape
+    if n == 0:
+        return np.zeros((K, K), dtype=np.float64)
+    lens = np.minimum(np.asarray(lens, dtype=np.int64), L)
+    Lmax = int(lens.max()) if len(lens) else 0
+    if Lmax < 2:
+        return np.zeros((K, K), dtype=np.float64)
+    tr = np.asarray(transitions, dtype=np.float64)
+    em = emissions.astype(np.float64)
+    alphas = np.zeros((n, Lmax, K))
+    alphas[:, 0] = em[:, 0]
+    for t in range(1, Lmax):
+        cand = alphas[:, t - 1][:, :, None] + tr[None, :, :]
+        m = cand.max(axis=1)
+        na = m + np.log(np.exp(cand - m[:, None, :]).sum(axis=1)) \
+            + em[:, t]
+        active = (t < lens)[:, None]
+        alphas[:, t] = np.where(active, na, alphas[:, t - 1])
+    rows = np.arange(n)
+    last = alphas[rows, lens - 1]
+    m = last.max(axis=1)
+    logz = m + np.log(np.exp(last - m[:, None]).sum(axis=1))
+    out = np.zeros((K, K), dtype=np.float64)
+    beta = np.zeros((n, K))
+    # walk t from Lmax-2 down; beta freezes outside [t+1 < len]; a row's
+    # bigram (t, t+1) contributes only while t+1 < len
+    for t in range(Lmax - 2, -1, -1):
+        contrib = (t + 1) < lens                      # (n,)
+        if contrib.any():
+            lp = (alphas[:, t][:, :, None] + tr[None, :, :]
+                  + em[:, t + 1][:, None, :] + beta[:, None, :]
+                  - logz[:, None, None])
+            out += np.exp(lp[contrib]).sum(axis=0)
+            cand = tr[None, :, :] + em[:, t + 1][:, None, :] \
+                + beta[:, None, :]
+            mm = cand.max(axis=2)
+            nb = mm + np.log(np.exp(cand - mm[:, :, None]).sum(axis=2))
+            beta = np.where(contrib[:, None], nb, beta)
+    return out

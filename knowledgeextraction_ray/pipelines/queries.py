@@ -952,6 +952,21 @@ def q_crf_train_run(sf_dir: str):
     return metrics.drop(columns=["train_nll"])
 
 
+def q_crf_train_sgd(sf_dir: str):
+    """Float-SGD training run (r5): batch gradient descent on the exact
+    CRF log-likelihood — the reference's LITERAL optimizer semantics
+    (``crf_log_likelihood`` gradient = expected − observed bigram counts
+    via forward-backward). Floats are not value-hash gateable (rows-only
+    driver check); the mode is pytest-pinned instead: analytic gradient ≡
+    finite differences, NLL strictly monotone, converged decode ≡ the
+    perceptron path's converged decode (tests/test_crf_train.py). The
+    returned frame keeps the integer dev-eval columns per epoch."""
+    from ..stages.crf_train import train_crf_transitions_sgd
+    train, dev, _ = _tagger_splits(sf_dir)
+    metrics, _T = train_crf_transitions_sgd(train, dev, epochs=4, lr=0.25)
+    return metrics.drop(columns=["train_nll", "grad_l1"])
+
+
 def q_crf_transitions(sf_dir: str):
     """The LEARNED transition matrix after training (81 tidy rows): the
     analog of the reference's trained ``transition_params``
@@ -984,6 +999,10 @@ ROWS_ONLY_QUERIES = {
     # alignment has no closed form — gated by differential tests executing
     # the reference's own _lcs_match (tests/test_sp_tokenizer.py)
     "mrc_token_answers_sp_unicode": q_mrc_token_answers_sp_unicode,
+    # float SGD on the exact CRF NLL (r5): exp/log make the run
+    # platform-dependent in the last bits, so no value hash — pinned by
+    # gradient/finite-difference, monotone-NLL and decode-parity tests
+    "crf_train_sgd": q_crf_train_sgd,
 }
 
 

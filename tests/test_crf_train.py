@@ -319,3 +319,83 @@ def test_trained_transitions_serve_equals_constraint_decode(corpus_ready):
     b = q_ner_predictions_trained(corpus_ready).to_pandas() \
         .sort_values("guid").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Float-SGD mode (r5): the literal crf_log_likelihood gradient
+# ---------------------------------------------------------------------------
+
+def test_expected_counts_batch_matches_ref():
+    from knowledgeextraction_ray.functions.crf import (
+        crf_expected_counts, crf_expected_counts_ref)
+    rs = np.random.RandomState(3)
+    N, L, K = 7, 9, 5
+    em = rs.uniform(-2, 2, (N, L, K))
+    lens = rs.randint(1, L + 1, N)
+    lens[0], lens[1], lens[2] = L, 1, 2          # full / degenerate edges
+    tr = rs.uniform(-1, 1, (K, K))
+    a = crf_expected_counts_ref(em, lens, tr)
+    b = crf_expected_counts(em, lens, tr)
+    assert np.abs(a - b).max() < 1e-10
+
+
+def test_sgd_gradient_matches_finite_differences():
+    """expected − observed IS ∂NLL/∂trans: checked cell-by-cell against
+    central finite differences of the forward-algorithm NLL."""
+    from knowledgeextraction_ray.functions.crf import crf_expected_counts
+    rs = np.random.RandomState(11)
+    N, L, K = 5, 7, 4
+    em = rs.uniform(-2, 2, (N, L, K))
+    lens = rs.randint(2, L + 1, N)
+    tr = rs.uniform(-1, 1, (K, K))
+    tags = rs.randint(0, K, (N, L))
+    obs = bigram_counts(tags.astype(np.int8), lens, K)
+    grad = crf_expected_counts(em, lens, tr) - obs
+    eps = 1e-6
+    for u in range(K):
+        for v in range(K):
+            tp_ = tr.copy(); tp_[u, v] += eps
+            tm = tr.copy(); tm[u, v] -= eps
+            fd = (crf_nll(em, tags.astype(np.int64), lens, tp_).sum()
+                  - crf_nll(em, tags.astype(np.int64), lens, tm).sum()) \
+                / (2 * eps)
+            assert abs(fd - grad[u, v]) < 1e-4, (u, v)
+
+
+def test_sgd_training_descends_and_matches_perceptron_decode(ray_session):
+    """The SGD mode on the edge corpus: NLL strictly decreases epoch over
+    epoch, and the converged float matrix decodes the dev set EXACTLY like
+    the converged perceptron matrix (same conlleval counts, F1 = 1)."""
+    from knowledgeextraction_ray.stages.crf_train import (
+        train_crf_transitions_sgd)
+    train = rd.from_arrow(_records(EDGE_ROWS))
+    dev = rd.from_arrow(_records(EDGE_ROWS))
+    metrics, T = train_crf_transitions_sgd(train, dev, epochs=5, lr=4.0)
+    nll = metrics["train_nll"].tolist()
+    assert all(nll[i + 1] < nll[i] for i in range(len(nll) - 1)), nll
+    assert metrics.loc[len(metrics) - 1, "f1_e6"] == 10**6
+    pm, PT = train_crf_transitions(train, dev, epochs=2)
+    feat = featurize_crf_batch(_records(EDGE_ROWS))
+    gold, lens, _, spans, Lmax = _padded(feat)
+    em = build_emissions(lens, spans, Lmax)
+    dec_sgd = viterbi_payload(em, lens, T)
+    dec_perc = viterbi_payload(em, lens, PT.astype(np.float64))
+    assert np.array_equal(dec_sgd, dec_perc)
+    assert np.array_equal(dec_sgd, gold)
+
+
+def test_sgd_resume_equals_fresh(ray_session, tmp_path):
+    """Killed-and-resumed SGD ≡ fresh: float epochs are deterministic
+    (part_key-ordered partial sums + JSON float64 round-trip)."""
+    from knowledgeextraction_ray.stages.crf_train import (
+        train_crf_transitions_sgd)
+    train = rd.from_arrow(_records(EDGE_ROWS))
+    dev = rd.from_arrow(_records(EDGE_ROWS))
+    m_fresh, T_fresh = train_crf_transitions_sgd(train, dev, epochs=4,
+                                                 lr=2.0)
+    rdir = str(tmp_path / "sgd_ckpt")
+    train_crf_transitions_sgd(train, dev, epochs=2, lr=2.0, resume_dir=rdir)
+    m_res, T_res = train_crf_transitions_sgd(train, dev, epochs=4, lr=2.0,
+                                             resume_dir=rdir)
+    assert np.array_equal(T_fresh, T_res)
+    pd.testing.assert_frame_equal(m_fresh, m_res)
