@@ -926,6 +926,7 @@ select doc_id, codec, pixel_sum, n_px from jpg
 SQL_MEDIA_AUDIO_STATS = """
 with ts as (select t from range(1024) t(t))
 select d.doc_id,
+       case when d.doc_id % 2 = 0 then 'wav' else 'flac' end as codec,
        cast(sum(((13*t + 37*(d.doc_id % 101)) % 65536) - 32768
               + ((29*t + 53*(d.doc_id % 103)) % 65536) - 32768)
             as bigint) as sample_sum,

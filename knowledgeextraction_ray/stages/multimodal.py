@@ -5,12 +5,13 @@ feature-extract / resize / frame-sample run as actor-pool ``map_batches``
 stages with SMALL batch sizes (payloads are large — batch_size × payload ×
 concurrency must fit worker heap; SURVEY.md "memory-aware").
 
-No codec LIBRARIES ship in this container, but five real formats decode
+No codec LIBRARIES ship in this container, but seven real formats decode
 natively via pure-stdlib codecs: PNG (``functions/png.py``, zlib + spec
 filters), GIF (``functions/gif.py``, LZW), baseline JPEG
 (``functions/jpeg.py``, huffman + IDCT, r5), WAV (``functions/wav.py``,
-RIFF/PCM) and Y4M video (``functions/y4m.py``, YUV4MPEG2 raw planar
-frames). Other formats are
+RIFF/PCM), FLAC (``functions/flac.py``, RFC 9639 rice/LPC, r5), Y4M
+video (``functions/y4m.py``, YUV4MPEG2 raw planar frames) and MP4/MJPEG
+(``functions/mp4.py``, ISO-BMFF sample-table demux, r5). Other formats are
 STUBBED: the stages raise ``NotImplementedError`` unless ``fake=True``, in
 which case a deterministic fake decoder (seeded from the payload hash)
 produces shaped numpy output. The Ray-side plumbing — schema, actor
@@ -127,9 +128,14 @@ class AudioFeatures:
     """Actor: audio payload → frame-energy features.
 
     WAV payloads decode FOR REAL (r4): ``functions/wav.py`` is a
-    pure-stdlib RIFF/PCM codec, so real audio flows payload → samples →
-    features end-to-end (multi-channel is mixed down to mono for the
-    energy features). Other containers (mp3/flac/ogg): pass ``fake=True``
+    pure-stdlib RIFF/PCM codec; FLAC payloads too (r5):
+    ``functions/flac.py`` implements the full RFC 9639 decode path
+    (rice partitions, fixed + LPC predictors, stereo decorrelation,
+    CRC-8/16 + MD5 verification) — so real audio flows payload →
+    samples → features end-to-end (multi-channel is mixed down to mono
+    for the energy features). Remaining containers (mp3/ogg — their
+    Huffman/window tables live in the SPEC, not the stream, so a
+    from-scratch build can't honestly pin them here): pass ``fake=True``
     for the deterministic stand-in (payload-hash-seeded waveform), else
     NotImplementedError marks the soundfile/ffmpeg integration point."""
 
@@ -138,14 +144,19 @@ class AudioFeatures:
         self.n_frames = n_frames
 
     def _decode_one(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        from ..functions.flac import decode_flac, is_flac
         from ..functions.wav import decode_wav, is_wav
         if is_wav(payload):
             samples, _rate = decode_wav(payload)
             return samples.mean(axis=1)             # mono mixdown
+        if is_flac(payload):
+            samples, _rate = decode_flac(payload)
+            return samples.mean(axis=1)
         if not self.fake:
             raise NotImplementedError(
-                "non-WAV audio codec not available in this environment; "
-                "integrate soundfile/ffmpeg here (WAV decodes natively)")
+                "mp3/ogg codecs not available in this environment; "
+                "integrate soundfile/ffmpeg here (WAV and FLAC decode "
+                "natively)")
         seed = int.from_bytes(sha256(payload).digest()[4:8], "big")
         rs = np.random.RandomState(seed)
         return rs.standard_normal(sample_rate)      # 1 s of fake audio
@@ -342,20 +353,30 @@ AUDIO_N = 1024
 
 
 def synth_audio_batch(batch: pa.Table) -> pa.Table:
-    """doc_id → deterministic 2-channel PCM16 WAV: ``s0(t) = ((13t +
-    37·(id%101)) mod 65536) − 32768``, ``s1(t) = ((29t + 53·(id%103)) mod
-    65536) − 32768``. Two channels so the production mono mixdown is
-    load-bearing; the mixdown's sample sum has a DuckDB closed form."""
+    """doc_id → deterministic 2-channel PCM16 audio, container by doc_id
+    mod 2: even → WAV, odd → FLAC (r5 — mid/side stereo + fixed
+    predictors + rice coding, so the full RFC 9639 decode path is
+    load-bearing in the driver gate). Same waveform either way:
+    ``s0(t) = ((13t + 37·(id%101)) mod 65536) − 32768``, ``s1(t) = ((29t
+    + 53·(id%103)) mod 65536) − 32768``. Two channels so the production
+    mono mixdown is load-bearing; both containers are LOSSLESS, so one
+    DuckDB closed form gates both codec arms exactly."""
+    from ..functions.flac import encode_flac
     from ..functions.wav import encode_wav
     t = np.arange(AUDIO_N, dtype=np.int64)
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for doc_id in batch["doc_id"].to_pylist():
         s0 = ((13 * t + 37 * (doc_id % 101)) % 65536) - 32768
         s1 = ((29 * t + 53 * (doc_id % 103)) % 65536) - 32768
-        a = np.stack([s0, s1], axis=1) / 32768.0
+        if doc_id % 2 == 0:
+            a = np.stack([s0, s1], axis=1) / 32768.0
+            payload = encode_wav(a, 16000, bits=16)
+        else:
+            payload = encode_flac(np.stack([s0, s1], axis=1), 16000,
+                                  bits=16, block_size=1024, mode="ms")
         rows["media_id"].append(str(doc_id))
         rows["kind"].append("audio")
-        rows["payload"].append(encode_wav(a, 16000, bits=16))
+        rows["payload"].append(payload)
         rows["meta_width"].append(0)
         rows["meta_height"].append(0)
         rows["meta_sample_rate"].append(16000)
@@ -373,16 +394,21 @@ class AudioDecodeStats:
         self._dec = AudioFeatures(fake=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, sums = [], []
+        from ..functions.flac import is_flac
+        from ..functions.wav import is_wav
+        ids, codecs, sums = [], [], []
         for mid, payload, sr in zip(batch["media_id"].to_pylist(),
                                     batch["payload"].to_pylist(),
                                     batch["meta_sample_rate"].to_pylist()):
             mono = self._dec._decode_one(payload, sr)
             ids.append(int(mid))
+            codecs.append("wav" if is_wav(payload)
+                          else "flac" if is_flac(payload) else "other")
             sums.append(int(np.rint(mono.astype(np.float64)
                                     * 65536.0).sum()))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
+            "codec": pa.array(codecs, pa.string()),
             "sample_sum": pa.array(sums, pa.int64()),
             "n_samples": pa.array([AUDIO_N] * len(ids), pa.int64()),
         })

@@ -450,3 +450,29 @@ def test_decode_image_real_gif():
     out = DecodeImage(fake=False)(batch)
     assert out["pixel_mean"][0].as_py() == float(img.mean())
     assert len(out["thumbnail"][0].as_py()) == 64
+
+
+def test_audio_features_flac_equals_wav():
+    """The SAME waveform through the WAV and FLAC containers yields
+    IDENTICAL frame energies from AudioFeatures(fake=False) — both
+    codecs are lossless, so the production decode dispatch must agree
+    bit-for-bit (r5: FLAC de-stub)."""
+    import pyarrow as pa
+
+    from knowledgeextraction_ray.functions.flac import encode_flac
+    from knowledgeextraction_ray.functions.wav import encode_wav
+    from knowledgeextraction_ray.stages.multimodal import AudioFeatures
+    rs = np.random.RandomState(11)
+    x = rs.randint(-32768, 32768, size=(4096, 2)).astype(np.int64)
+    wav = encode_wav(x / 32768.0, 16000, bits=16)
+    flac = encode_flac(x, 16000, bits=16, block_size=1024, mode="ms")
+    batch = pa.table({
+        "media_id": ["a", "b"], "kind": ["audio"] * 2,
+        "payload": [wav, flac],
+        "meta_width": pa.array([0, 0], pa.int32()),
+        "meta_height": pa.array([0, 0], pa.int32()),
+        "meta_sample_rate": pa.array([16000, 16000], pa.int32()),
+        "meta_n_frames": pa.array([0, 0], pa.int32()),
+    })
+    out = AudioFeatures(fake=False, n_frames=16)(batch)
+    assert out["frame_energy"][0].as_py() == out["frame_energy"][1].as_py()
