@@ -63,6 +63,34 @@ from read_parquet('{corpus}')
 """
 
 
+def sql_corpus_line_dedup(sf_dir: str, min_len: int = 20) -> str:
+    """Cross-document line dedup: keep each repeated line's corpus-global
+    first occurrence (order by path, line_idx); lines under ``min_len``
+    chars always pass. ``generate_subscripts`` zips 1-based indices with
+    the unnest (DuckDB lacks WITH ORDINALITY); the reassembled-text
+    sha256 gates keep decisions AND line order in one value."""
+    corpus = corpus_glob(sf_dir)
+    return f"""
+with parts as (select path, string_split(content, chr(10)) as ls
+               from read_parquet('{corpus}')),
+lines as (select path, unnest(ls) as line,
+                 generate_subscripts(ls, 1)::bigint - 1 as line_idx
+          from parts),
+ranked as (
+  select path, line_idx, line, length(line) >= {min_len} as elig,
+         row_number() over (partition by line order by path, line_idx) rn
+  from lines),
+kept as (select path, line_idx, line, (not elig or rn = 1) as keep
+         from ranked)
+select path, count(*)::bigint as n_lines,
+       (count(*) filter (where keep))::bigint as kept_lines,
+       (count(*) filter (where not keep))::bigint as dropped_lines,
+       sha256(coalesce(string_agg(line, chr(10) order by line_idx)
+              filter (where keep), '')) as text_sha256
+from kept group by path
+"""
+
+
 def sql_mentions(sf_dir: str) -> str:
     """Mention counts per (file, label, surface)."""
     return f"""
@@ -1222,6 +1250,7 @@ elig as materialized (
 
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
+    "corpus_line_dedup": sql_corpus_line_dedup,
     "kg_mentions": sql_mentions,
     "kg_label_hist": sql_label_hist,
     "kg_canonical": sql_canonical,

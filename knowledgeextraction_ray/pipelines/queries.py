@@ -160,8 +160,26 @@ def q_mrc_answers(sf_dir: str):
     return nbest.map_batches(shape, batch_format="pyarrow")
 
 
+def q_corpus_line_dedup(sf_dir: str):
+    """Cross-document line dedup (C4/RefinedWeb-style repeated-line
+    removal) over the corpus: keep each repeated line's corpus-global
+    FIRST occurrence (by file path, then line index); lines shorter than
+    20 chars always pass. Per file: line counts + sha256 of the
+    reassembled text — one mis-kept or mis-ordered line fails the hash.
+    Text is pruned at the read (path + content only)."""
+    import ray.data as rd
+
+    from ..corpus import corpus_parquet_dir, ensure_corpus
+    from ..stages.dedup import line_dedup
+    ensure_corpus(sf_dir)
+    ds = rd.read_parquet(corpus_parquet_dir(sf_dir),
+                         columns=["path", "content"])
+    return line_dedup(ds)
+
+
 KG_QUERIES = {
     "kg_corpus_sha": q_corpus_sha,
+    "corpus_line_dedup": q_corpus_line_dedup,
     "kg_mentions": q_mentions,
     "kg_label_hist": q_label_hist,
     "kg_canonical": q_canonical,

@@ -1084,3 +1084,228 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9, bits: int = 12,
              "cosine": pd.Series(c, dtype="float64")}))
     return bucketed.groupby("bucket").map_groups(per_bucket,
                                                  batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (C4 / RefinedWeb-style repeated-line removal)
+# ---------------------------------------------------------------------------
+
+LINE_SEP = "\x1f"
+_IDX_PAD = 12  # zero-pad width: lexicographic owner order == numeric order
+
+
+def _exploded_lines(batch: pa.Table, text_col: str, key_col: str,
+                    min_len: int) -> pd.DataFrame:
+    """Vectorized line explode → DataFrame(path, line_idx, line, elig).
+
+    One Arrow ``split_pattern`` per batch; parent keys/indices come from
+    the list lengths — no per-row Python until pandas takes over the
+    (already exploded) frame."""
+    lists = batch.column(text_col)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    la = pc.split_pattern(lists, "\n")
+    counts = pc.list_value_length(la).to_numpy().astype(np.int64)
+    lines = pc.list_flatten(la)
+    keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.arange(len(lines), dtype=np.int64) - np.repeat(starts, counts)
+    elig = pc.greater_equal(pc.utf8_length(lines),
+                            min_len).to_numpy(zero_copy_only=False)
+    return pd.DataFrame({
+        "path": np.repeat(keys, counts),
+        "line_idx": idx,
+        "line": lines.to_pandas().to_numpy(dtype=object),
+        "elig": elig,
+    })
+
+
+def _owner_keys(pdf: pd.DataFrame) -> pd.Series:
+    """(path, line_idx) → one lexicographically ordered owner string."""
+    return (pdf["path"].astype(str) + LINE_SEP
+            + pdf["line_idx"].astype(np.int64).astype(str).str.zfill(_IDX_PAD))
+
+
+def _line_partial(batch: pa.Table, *, text_col, key_col, min_len) -> pa.Table:
+    """Per-block combiner: (line → count, min owner) over eligible lines —
+    the pre-aggregation that keeps the global exchange proportional to the
+    block's DISTINCT lines, not its total lines."""
+    from ..functions.tables import from_pandas_clean
+    pdf = _exploded_lines(batch, text_col, key_col, min_len)
+    pdf = pdf[pdf["elig"]]
+    if not len(pdf):
+        return pa.table({"line": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "owner": pa.array([], pa.string())})
+    pdf = pdf.assign(owner=_owner_keys(pdf))
+    g = pdf.groupby("line", sort=False).agg(
+        cnt=("line", "size"), owner=("owner", "min")).reset_index()
+    g["cnt"] = g["cnt"].astype(np.int64)
+    return from_pandas_clean(g[["line", "cnt", "owner"]])
+
+
+def _apply_line_dedup(batch: pa.Table, *, dup_ref, text_col, key_col,
+                      min_len) -> pa.Table:
+    """Probe pass: re-split locally, keep ineligible / unique / first-owner
+    lines, reassemble in place. The duplicate-owner map arrives via
+    ``ray.put`` (one object-store copy per node) — file text never
+    shuffles."""
+    import ray
+
+    from ..functions.hashing import sha256_column
+    from ..runtime import worker_state
+    key = dup_ref.hex() if hasattr(dup_ref, "hex") else id(dup_ref)
+    dup = worker_state(("line_dedup", key), lambda: ray.get(dup_ref))
+    pdf = _exploded_lines(batch, text_col, key_col, min_len)
+    owner = _owner_keys(pdf)
+    first = pdf["line"].map(dup)
+    keep = (~pdf["elig"]) | first.isna() | (first == owner)
+    kept = pdf[keep]
+    text = kept.groupby("path", sort=False)["line"].agg("\n".join)
+    per = pdf.groupby("path", sort=False).size()
+    kept_n = keep.groupby(pdf["path"], sort=False).sum()
+    paths = batch.column(key_col).to_pylist()         # preserve input order
+    n_lines = per.reindex(paths).to_numpy(dtype=np.int64)
+    kept_arr = kept_n.reindex(paths).fillna(0).to_numpy(dtype=np.int64)
+    texts = text.reindex(paths).fillna("").to_list()
+    return pa.table({
+        "path": pa.array(paths, pa.string()),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "kept_lines": pa.array(kept_arr, pa.int64()),
+        "dropped_lines": pa.array(n_lines - kept_arr, pa.int64()),
+        "text_sha256": sha256_column(pa.array(texts, pa.string())),
+    })
+
+
+def line_dedup(ds, text_col: str = "content", key_col: str = "path",
+               min_len: int = 20, dup_driver_limit: int = 2_000_000,
+               broadcast_limit: int = 5_000_000, num_buckets: int = 64,
+               mode: str = "auto"):
+    """Cross-document line dedup — keep each repeated line's FIRST
+    occurrence corpus-wide (C4 / RefinedWeb-style boilerplate removal).
+
+    Rule: a line (``\\n``-split) with ``len >= min_len`` chars is kept iff
+    it is the corpus-global first occurrence, ordered by (file key,
+    line index); shorter lines always pass. Output per file: line counts
+    + sha256 of the reassembled text.
+
+    Scale shape (the op the reference lacks; generalizes its D1 dedup the
+    way ``exact_dedup`` does, but at LINE granularity):
+
+    1. per-block combiner (``_line_partial``) → (line, count, min-owner)
+       partials: the exchange carries distinct-lines-per-block, never text
+       positions;
+    2. partials collapse on the driver while they fit
+       (``dup_driver_limit``), else through a bucketed distributed
+       combine — and ONLY duplicated lines (count ≥ 2) survive into the
+       probe map, which is what makes the broadcast small;
+    3. probe pass re-splits each file locally and reassembles in place —
+       file text never shuffles. If even the duplicated-line map exceeds
+       ``broadcast_limit``, the whole query flips to
+       :func:`_line_dedup_join_path` (bucketed line join + path-bucketed
+       reassembly — two exchanges, no driver/broadcast materialization).
+
+    ``mode``: "auto" (size-gated), "driver", "distributed" (combine via
+    buckets, broadcast probe), "join" (fully distributed). Path equality
+    is test-pinned.
+    """
+    import ray
+
+    partials = ds.map_batches(
+        _line_partial, batch_format="pyarrow", batch_size=None,
+        fn_kwargs=dict(text_col=text_col, key_col=key_col, min_len=min_len))
+
+    dup_map = None
+    if mode in ("auto", "driver"):
+        try:
+            pdf = partials.to_pandas(limit=dup_driver_limit)
+            pdf = pdf.sort_values("owner", kind="stable")
+            g = pdf.groupby("line", sort=False).agg(
+                cnt=("cnt", "sum"), owner=("owner", "first"))
+            dup_map = dict(g[g["cnt"] >= 2]["owner"].items())
+        except ValueError:
+            if mode == "driver":
+                raise
+    if dup_map is None and mode != "join":
+        from .groupagg import bucketed_agg
+        dup_ds = bucketed_agg(partials, ["line"],
+                              {"cnt": ("cnt", "sum"),
+                               "owner": ("owner", "min")},
+                              num_buckets=num_buckets)
+        dup_ds = dup_ds.filter(
+            lambda row: row["cnt"] >= 2)
+        try:
+            dpdf = dup_ds.to_pandas(limit=broadcast_limit)
+            dup_map = dict(zip(dpdf["line"], dpdf["owner"]))
+        except ValueError:
+            if mode == "distributed":
+                raise
+            return _line_dedup_join_path(ds, dup_ds, text_col, key_col,
+                                         min_len, num_buckets)
+    if dup_map is None:
+        from .groupagg import bucketed_agg
+        dup_ds = bucketed_agg(partials, ["line"],
+                              {"cnt": ("cnt", "sum"),
+                               "owner": ("owner", "min")},
+                              num_buckets=num_buckets)
+        dup_ds = dup_ds.filter(lambda row: row["cnt"] >= 2)
+        return _line_dedup_join_path(ds, dup_ds, text_col, key_col,
+                                     min_len, num_buckets)
+    dup_ref = ray.put(dup_map)
+    return ds.map_batches(
+        _apply_line_dedup, batch_format="pyarrow",
+        fn_kwargs=dict(dup_ref=dup_ref, text_col=text_col,
+                       key_col=key_col, min_len=min_len))
+
+
+def _line_dedup_join_path(ds, dup_ds, text_col, key_col, min_len,
+                          num_buckets):
+    """Fully distributed line dedup: exploded eligible lines bucket-join
+    the duplicated-line owner table on the LINE key, then one path-bucketed
+    exchange reassembles files. No driver or broadcast materialization —
+    the 100-TB shape when even the duplicated-line map is huge."""
+    from ..functions.tables import from_pandas_clean
+    from .groupagg import add_bucket_column
+    from .joins import bucketed_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pdf = _exploded_lines(batch, text_col, key_col, min_len)
+        pdf = pdf.assign(owner=_owner_keys(pdf))
+        return from_pandas_clean(pdf[["path", "line_idx", "line", "elig",
+                                      "owner"]])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["line", "cnt", "first_owner"])
+
+    lines = ds.map_batches(explode, batch_format="pyarrow")
+    dup = dup_ds.map_batches(rn, batch_format="pyarrow")
+    joined = bucketed_join(lines, dup, on="line", how="left",
+                           num_buckets=num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        from ..functions.hashing import sha256_column
+        g = g.sort_values(["path", "line_idx"], kind="stable")
+        keep = ((~g["elig"].astype(bool))
+                | g["first_owner"].isna()
+                | (g["first_owner"] == g["owner"]))
+        kept = g[keep]
+        text = kept.groupby("path", sort=False)["line"].agg("\n".join)
+        per = g.groupby("path", sort=False).size()
+        kept_n = keep.groupby(g["path"], sort=False).sum()
+        paths = per.index.to_list()
+        n_lines = per.to_numpy(dtype=np.int64)
+        kept_arr = kept_n.reindex(paths).fillna(0).to_numpy(dtype=np.int64)
+        texts = text.reindex(paths).fillna("").to_list()
+        return pa.table({
+            "path": pa.array(paths, pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "kept_lines": pa.array(kept_arr, pa.int64()),
+            "dropped_lines": pa.array(n_lines - kept_arr, pa.int64()),
+            "text_sha256": sha256_column(pa.array(texts, pa.string())),
+        })
+
+    return (joined.map_batches(
+        lambda b: add_bucket_column(b, ["path"], num_buckets),
+        batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas"))
