@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     # the train path (r4): full 3-epoch perceptron transition learning —
     # featurize + 3× (train pass + dev eval) over ~102k segments at sf0.1
     "crf_train_run",
+    # cross-document line dedup (r5): corpus-global first-occurrence
+    # repeated-line removal — two corpus passes + a distinct-line combine
+    "corpus_line_dedup",
 ]
 
 
