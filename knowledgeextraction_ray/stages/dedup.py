@@ -1107,7 +1107,7 @@ def _exploded_lines(batch: pa.Table, text_col: str, key_col: str,
     la = pc.split_pattern(lists, "\n")
     counts = pc.list_value_length(la).to_numpy().astype(np.int64)
     lines = pc.list_flatten(la)
-    keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+    keys = batch.column(key_col).to_pandas().to_numpy(dtype=object)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     idx = np.arange(len(lines), dtype=np.int64) - np.repeat(starts, counts)
     elig = pc.greater_equal(pc.utf8_length(lines),
@@ -1164,12 +1164,13 @@ def _apply_line_dedup(batch: pa.Table, *, dup_ref, text_col, key_col,
     text = kept.groupby("path", sort=False)["line"].agg("\n".join)
     per = pdf.groupby("path", sort=False).size()
     kept_n = keep.groupby(pdf["path"], sort=False).sum()
-    paths = batch.column(key_col).to_pylist()         # preserve input order
+    # preserve input order; reuse the input column zero-copy for output
+    paths = batch.column(key_col).to_pandas().to_numpy(dtype=object)
     n_lines = per.reindex(paths).to_numpy(dtype=np.int64)
     kept_arr = kept_n.reindex(paths).fillna(0).to_numpy(dtype=np.int64)
     texts = text.reindex(paths).fillna("").to_list()
     return pa.table({
-        "path": pa.array(paths, pa.string()),
+        "path": batch.column(key_col),
         "n_lines": pa.array(n_lines, pa.int64()),
         "kept_lines": pa.array(kept_arr, pa.int64()),
         "dropped_lines": pa.array(n_lines - kept_arr, pa.int64()),
