@@ -959,6 +959,50 @@ where d.doc_id % 2 = 1
 group by d.doc_id, f
 """
 
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Seeded integer-exact k-means unrolled one CTE pair per Lloyd
+    iteration (assignment + centroid update), the ``sql_kg_pagerank``
+    technique. Everything integer: elements quantize half-away via
+    ``round(e·scale)``; centroid update is ``floor(sum/count)`` (exact in
+    double — quotient gaps ≥ 1/count dwarf the ulp); ties break to the
+    lowest cluster id via ``order by dist, cluster``. Every CTE that fans
+    out is ``as materialized`` (DuckDB inlines multi-consumer CTEs)."""
+    ctes = [f"""emb as materialized (
+  select vec_id, generate_subscripts(embedding, 1)::bigint - 1 as dim,
+         cast(round(cast(unnest(embedding) as double) * {scale}, 0)
+              as bigint) as v
+  from embeddings)""",
+            f"""init as (
+  select vec_id, row_number() over (order by vec_id) - 1 as cluster
+  from (select distinct vec_id from emb order by vec_id limit {k}))""",
+            """cent0 as materialized (
+  select i.cluster, e.dim, e.v as c from init i join emb e using (vec_id))"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} as materialized (
+  select vec_id, cluster from (
+    select e.vec_id, c.cluster,
+           row_number() over (partition by e.vec_id
+                              order by sum((e.v - c.c)*(e.v - c.c)),
+                                       c.cluster) rn
+    from emb e join cent{i - 1} c using (dim)
+    group by e.vec_id, c.cluster) q where rn = 1)""")
+        ctes.append(f"""cent{i} as materialized (
+  select a.cluster, e.dim,
+         cast(floor(cast(sum(e.v) as double) / count(*)) as bigint) as c
+  from a{i} a join emb e using (vec_id) group by a.cluster, e.dim)""")
+    return ("with " + ",\n".join(ctes) + f"""
+select vec_id, cluster, dist_sq from (
+  select e.vec_id, c.cluster,
+         sum((e.v - c.c)*(e.v - c.c))::bigint as dist_sq,
+         row_number() over (partition by e.vec_id
+                            order by sum((e.v - c.c)*(e.v - c.c)),
+                                     c.cluster) rn
+  from emb e join cent{iters} c using (dim)
+  group by e.vec_id, c.cluster) q where rn = 1""")
+
+
 TABLE_ORACLES = {
     "media_decode_stats": SQL_MEDIA_DECODE_STATS,
     "media_audio_stats": SQL_MEDIA_AUDIO_STATS,
@@ -969,6 +1013,7 @@ TABLE_ORACLES = {
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "doc_token_count_bpe": SQL_DOC_TOKEN_COUNT_BPE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "embedding_kmeans": _kmeans_sql(),
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_quality": SQL_DOC_QUALITY,

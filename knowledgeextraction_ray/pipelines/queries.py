@@ -235,6 +235,18 @@ def q_embedding_centroids(sf_dir: str):
                                            columns=["label", "embedding"]))
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Seeded integer-exact k-means over the embedding column (the
+    SemDeDup-style clustering stage): quantize half-away to int·1000,
+    seed with the k smallest vec_ids, 3 Lloyd iterations of broadcast
+    centroids + per-block integer partial sums, final assignment with
+    exact integer distances. Ties break to the lowest cluster id on both
+    sides; the hash gates every assignment AND distance."""
+    from ..stages.vectorops import kmeans_assign
+    return kmeans_assign(read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                            columns=["vec_id", "embedding"]))
+
+
 def q_doc_quality(sf_dir: str):
     from ..stages.text_analysis import quality_batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -591,6 +603,7 @@ TABLE_QUERIES = {
     "events_range_count": q_events_range_count,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 def q_ner_eval_prf(sf_dir: str):

@@ -60,3 +60,113 @@ def label_centroids(ds, num_buckets: int = 16):
                                  / 1e6)
         return from_pandas_clean(df)
     return merged.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# seeded integer-exact k-means (SemDeDup-style embedding clustering)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_matrix(batch: pa.Table, scale: float) -> tuple:
+    from .knn import embedding_matrix
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = scaled_int64_np(embedding_matrix(batch["embedding"]), scale)
+    return ids, x
+
+
+def _assign(x: np.ndarray, cent: np.ndarray) -> tuple:
+    """(N, D) int64 × (K, D) int64 → (assign idx into cent rows, dist²).
+
+    Exact integer distances; ``argmin`` takes the FIRST minimum, which is
+    the lowest cluster id because centroid rows are kept cluster-sorted —
+    the same tie-break the SQL oracle's ``order by dist, cluster`` makes."""
+    d = x[:, None, :] - cent[None, :, :]
+    dist = np.einsum("nkd,nkd->nk", d, d)
+    a = dist.argmin(axis=1)
+    return a, dist[np.arange(len(x)), a]
+
+
+def kmeans_assign(ds, k: int = 8, iters: int = 3, scale: float = 1e3):
+    """Distributed k-means over the embedding column, integer-exact.
+
+    The clustering stage of a SemDeDup-style curation pipeline (cluster →
+    dedup within clusters) / data-mixing bucketer. Everything is EXACT
+    integer arithmetic so the result is parallel-order-independent and
+    value-hash gateable:
+
+    - elements quantize half-away to ``round(e·scale)`` int64 once per
+      batch (zero-copy Arrow → numpy matrix);
+    - init: the quantized vectors of the ``k`` smallest ``vec_id``s
+      (deterministic; per-block k-smallest partials, driver merge of
+      k×blocks rows);
+    - each iteration broadcasts the (K, D) centroid matrix via
+      ``ray.put`` and streams ONE pass over the dataset emitting (K, D)
+      int64 partial sums + counts per block — the driver reduces k·D
+      integers, never rows. New centroid = ``floor(sum / count)``
+      (provably exact in float64 for these magnitudes — quotient gaps
+      ≥ 1/count ≫ ulp); clusters that lose all members drop out;
+    - final pass assigns each vector under the converged centroids →
+      (vec_id, cluster, dist_sq).
+
+    ``iters + 2`` streamed passes total, nothing materialized: the
+    100-TB shape for Lloyd's algorithm. Ties (equal distance) break to
+    the lowest cluster id on both sides."""
+    import ray
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        ids, x = _quantized_matrix(batch, scale)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "q": pa.array(x[order].tolist(), pa.list_(pa.int64())),
+        })
+
+    seeds = (ds.map_batches(topk_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .to_pandas())                       # ≤ k rows per block
+    seeds = seeds.sort_values("vec_id", kind="stable").head(k)
+    cent = np.stack(seeds["q"].to_numpy()).astype(np.int64)
+    clusters = np.arange(len(cent), dtype=np.int64)   # row → cluster id
+
+    for _ in range(iters):
+        cent_ref = ray.put((clusters, cent))
+
+        def sums_partial(batch: pa.Table, *, cent_ref=cent_ref) -> pa.Table:
+            cl, c = ray.get(cent_ref)
+            _ids, x = _quantized_matrix(batch, scale)
+            a, _ = _assign(x, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            kd = c.shape[1]
+            return pa.table({
+                "cluster": pa.array(np.repeat(cl, kd), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(kd, dtype=np.int64),
+                                        len(c)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(cnt, kd), pa.int64()),
+            })
+
+        p = (ds.map_batches(sums_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .to_pandas())                        # k·D rows per block
+        g = p.groupby(["cluster", "dim"], sort=True)[["s", "n"]].sum()
+        g = g[g["n"] > 0]                         # empty clusters drop out
+        new = np.floor(g["s"].to_numpy(np.float64)
+                       / g["n"].to_numpy(np.float64)).astype(np.int64)
+        clusters = g.index.get_level_values("cluster").unique().to_numpy()
+        cent = new.reshape(len(clusters), -1)
+
+    final_ref = ray.put((clusters, cent))
+
+    def finalize(batch: pa.Table, *, final_ref=final_ref) -> pa.Table:
+        cl, c = ray.get(final_ref)
+        ids, x = _quantized_matrix(batch, scale)
+        a, dist = _assign(x, c)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl[a], pa.int64()),
+            "dist_sq": pa.array(dist, pa.int64()),
+        })
+
+    return ds.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,53 @@
+"""Seeded integer-exact k-means (`stages/vectorops.kmeans_assign`):
+planted-cluster semantics + empty-cluster drop rule. DuckDB value-hash
+parity for `embedding_kmeans` runs in the parametrized TABLE_QUERIES sweep."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from knowledgeextraction_ray.stages.vectorops import kmeans_assign
+
+
+def _blob_ds():
+    """Three tight, well-separated 8-dim blobs; vec_ids 0..2 land one per
+    blob so the k=3 seeds start in distinct basins."""
+    rs = np.random.RandomState(7)
+    centers = np.array([[0.4] * 8, [-0.4] * 8, [0.4] * 4 + [-0.4] * 4])
+    rows = []
+    vid = 0
+    for rep in range(12):
+        for b in range(3):
+            v = centers[b] + rs.uniform(-0.02, 0.02, 8)
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist()})
+            vid += 1
+    return rd.from_pandas(pd.DataFrame(rows)), centers
+
+
+def test_kmeans_planted_blobs(ray_session):
+    ds, centers = _blob_ds()
+    out = kmeans_assign(ds, k=3, iters=3).to_pandas()
+    # every blob's members share one cluster; blobs never merge
+    out["blob"] = out["vec_id"] % 3
+    by_blob = out.groupby("blob")["cluster"].nunique()
+    assert (by_blob == 1).all()
+    assert out.groupby("blob")["cluster"].first().nunique() == 3
+    # seeds were one-per-blob, so cluster ids are the seed ids
+    assert set(out["cluster"]) == {0, 1, 2}
+
+
+def test_kmeans_empty_cluster_drops(ray_session):
+    """Two identical seed vectors: the tie breaks to the lower cluster id,
+    the other seed's cluster loses every member and drops out."""
+    rs = np.random.RandomState(3)
+    rows = [{"vec_id": 0, "embedding": np.full(8, 0.3, np.float32).tolist()},
+            {"vec_id": 1, "embedding": np.full(8, 0.3, np.float32).tolist()},
+            {"vec_id": 2, "embedding": np.full(8, -0.3, np.float32).tolist()}]
+    for i in range(3, 30):
+        base = 0.3 if i % 2 == 0 else -0.3
+        rows.append({"vec_id": i, "embedding":
+                     (base + rs.uniform(-0.01, 0.01, 8)).astype(np.float32).tolist()})
+    out = kmeans_assign(rd.from_pandas(pd.DataFrame(rows)),
+                        k=3, iters=2).to_pandas()
+    assert set(out["cluster"]) == {0, 2}          # cluster 1 dropped
+    assert (out.loc[out["vec_id"] == 1, "cluster"] == 0).all()
