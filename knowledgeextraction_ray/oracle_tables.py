@@ -961,14 +961,15 @@ group by d.doc_id, f
 
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
-    """Seeded integer-exact k-means unrolled one CTE pair per Lloyd
-    iteration (assignment + centroid update), the ``sql_kg_pagerank``
-    technique. Everything integer: elements quantize half-away via
-    ``round(e·scale)``; centroid update is ``floor(sum/count)`` (exact in
-    double — quotient gaps ≥ 1/count dwarf the ulp); ties break to the
-    lowest cluster id via ``order by dist, cluster``. Every CTE that fans
-    out is ``as materialized`` (DuckDB inlines multi-consumer CTEs)."""
+def _kmeans_ctes(k: int, iters: int, scale: int) -> list:
+    """Shared CTE chain for the k-means family: quantized explode, seed
+    centroids, one (assignment, centroid-update) CTE pair per Lloyd
+    iteration — the ``sql_kg_pagerank`` unrolling technique. Everything
+    integer: elements quantize half-away via ``round(e·scale)``; centroid
+    update is ``floor(sum/count)`` (exact in double — quotient gaps ≥
+    1/count dwarf the ulp); ties break to the lowest cluster id via
+    ``order by dist, cluster``. Every CTE that fans out is ``as
+    materialized`` (DuckDB inlines multi-consumer CTEs)."""
     ctes = [f"""emb as materialized (
   select vec_id, generate_subscripts(embedding, 1)::bigint - 1 as dim,
          cast(round(cast(unnest(embedding) as double) * {scale}, 0)
@@ -992,15 +993,55 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
   select a.cluster, e.dim,
          cast(floor(cast(sum(e.v) as double) / count(*)) as bigint) as c
   from a{i} a join emb e using (vec_id) group by a.cluster, e.dim)""")
-    return ("with " + ",\n".join(ctes) + f"""
-select vec_id, cluster, dist_sq from (
-  select e.vec_id, c.cluster,
-         sum((e.v - c.c)*(e.v - c.c))::bigint as dist_sq,
-         row_number() over (partition by e.vec_id
-                            order by sum((e.v - c.c)*(e.v - c.c)),
-                                     c.cluster) rn
-  from emb e join cent{iters} c using (dim)
-  group by e.vec_id, c.cluster) q where rn = 1""")
+    ctes.append(f"""afin as materialized (
+  select vec_id, cluster, dist_sq from (
+    select e.vec_id, c.cluster,
+           sum((e.v - c.c)*(e.v - c.c))::hugeint as dist_sq,
+           row_number() over (partition by e.vec_id
+                              order by sum((e.v - c.c)*(e.v - c.c)),
+                                       c.cluster) rn
+    from emb e join cent{iters} c using (dim)
+    group by e.vec_id, c.cluster) q where rn = 1)""")
+    return ctes
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Final k-means assignment under the converged centroids — see
+    :func:`_kmeans_ctes`."""
+    return ("with " + ",\n".join(_kmeans_ctes(k, iters, scale)) + """
+select vec_id, cluster, cast(dist_sq as bigint) as dist_sq from afin""")
+
+
+def _semdedup_sql(k: int = 8, iters: int = 3, scale: int = 1000,
+                  t_pct: int = 40) -> str:
+    """SemDeDup: within-cluster near-dup removal on top of the k-means
+    CTEs. The cosine threshold is EXACT integer arithmetic (``dot > 0 AND
+    10⁴·dot² ≥ (100T)²·‖a‖²·‖b‖²`` in hugeint — no float boundary); a
+    member drops iff a strictly-more-central same-cluster member (by
+    (dist_sq, vec_id)) is a near-dup, restated as a pair join that only
+    emits (later, earlier) pairs."""
+    ctes = _kmeans_ctes(k, iters, scale)
+    ctes.append("""norms as materialized (
+  select vec_id, sum(v*v)::hugeint as nn from emb group by 1)""")
+    ctes.append("""dots as materialized (
+  select a.vec_id as va, b.vec_id as vb,
+         sum(ea.v * eb.v)::hugeint as dot
+  from afin a join afin b on a.cluster = b.cluster
+    and (b.dist_sq < a.dist_sq
+         or (b.dist_sq = a.dist_sq and b.vec_id < a.vec_id))
+  join emb ea on ea.vec_id = a.vec_id
+  join emb eb on eb.vec_id = b.vec_id and eb.dim = ea.dim
+  group by 1, 2)""")
+    ctes.append(f"""drops as (
+  select distinct d.va as vec_id from dots d
+  join norms na on na.vec_id = d.va
+  join norms nb on nb.vec_id = d.vb
+  where d.dot > 0
+    and 10000 * d.dot * d.dot >= {t_pct * t_pct} * na.nn * nb.nn)""")
+    return ("with " + ",\n".join(ctes) + """
+select a.vec_id, a.cluster, cast(a.dist_sq as bigint) as dist_sq,
+       case when dr.vec_id is null then 1 else 0 end as keep
+from afin a left join drops dr using (vec_id)""")
 
 
 TABLE_ORACLES = {
@@ -1014,6 +1055,7 @@ TABLE_ORACLES = {
     "doc_token_count_bpe": SQL_DOC_TOKEN_COUNT_BPE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "embedding_kmeans": _kmeans_sql(),
+    "embedding_semdedup": _semdedup_sql(),
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_quality": SQL_DOC_QUALITY,

@@ -247,6 +247,17 @@ def q_embedding_kmeans(sf_dir: str):
                                             columns=["vec_id", "embedding"]))
 
 
+def q_embedding_semdedup(sf_dir: str):
+    """SemDeDup (cluster → within-cluster near-dup removal, keep the
+    most-central member): k-means assignment + one bucketed exchange of
+    quantized vectors + exact-integer cosine threshold (dot² vs norms —
+    no float boundary anywhere). threshold_pct=40 is non-vacuous on the
+    provided vectors (26 drops at sf0.01)."""
+    from ..stages.vectorops import semdedup
+    return semdedup(read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                       columns=["vec_id", "embedding"]))
+
+
 def q_doc_quality(sf_dir: str):
     from ..stages.text_analysis import quality_batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -604,6 +615,7 @@ TABLE_QUERIES = {
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "embedding_centroids": q_embedding_centroids,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_semdedup": q_embedding_semdedup,
 }
 
 def q_ner_eval_prf(sf_dir: str):

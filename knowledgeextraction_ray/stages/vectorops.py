@@ -113,6 +113,27 @@ def kmeans_assign(ds, k: int = 8, iters: int = 3, scale: float = 1e3):
     the lowest cluster id on both sides."""
     import ray
 
+    clusters, cent = _kmeans_centroids(ds, k, iters, scale)
+    final_ref = ray.put((clusters, cent))
+
+    def finalize(batch: pa.Table, *, final_ref=final_ref) -> pa.Table:
+        cl, c = ray.get(final_ref)
+        ids, x = _quantized_matrix(batch, scale)
+        a, dist = _assign(x, c)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl[a], pa.int64()),
+            "dist_sq": pa.array(dist, pa.int64()),
+        })
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+def _kmeans_centroids(ds, k: int, iters: int, scale: float) -> tuple:
+    """Seed + Lloyd iterations → (cluster ids, (K, D) int64 centroids).
+    See :func:`kmeans_assign` for the exactness argument."""
+    import ray
+
     def topk_partial(batch: pa.Table) -> pa.Table:
         ids, x = _quantized_matrix(batch, scale)
         order = np.argsort(ids, kind="stable")[:k]
@@ -156,10 +177,39 @@ def kmeans_assign(ds, k: int = 8, iters: int = 3, scale: float = 1e3):
                        / g["n"].to_numpy(np.float64)).astype(np.int64)
         clusters = g.index.get_level_values("cluster").unique().to_numpy()
         cent = new.reshape(len(clusters), -1)
+    return clusters, cent
 
+
+def semdedup(ds, k: int = 8, iters: int = 3, scale: float = 1e3,
+             threshold_pct: int = 40, max_cluster: int = 20_000,
+             num_buckets: int = 16):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    drop near-duplicates WITHIN each cluster, keeping the member closest
+    to its centroid. → (vec_id, cluster, dist_sq, keep).
+
+    The near-dup criterion is EXACT integers (hash-gateable, no float
+    boundary): ``cos(a, b) ≥ T`` ⟺ ``dot > 0 AND 10⁴·dot² ≥
+    (100·T)²·‖a‖²·‖b‖²`` over the quantized vectors. A member is dropped
+    iff some same-cluster member that sorts strictly earlier by
+    (dist_sq, vec_id) is a near-dup of it — the canonical "keep the most
+    central representative" rule, deterministic under ties.
+
+    Scale shape: centroids come from the streamed :func:`kmeans_assign`
+    passes; ONE bucketed exchange co-locates each cluster's quantized
+    vectors (fixed-size sketches, never raw embeddings' source rows);
+    the in-cluster comparison is one int64 matmul. Clusters larger than
+    ``max_cluster`` degrade LOUDLY to a star comparison against the
+    single most-central member (linear, components preserved) — real
+    SemDeDup uses k large enough that clusters stay small."""
+    import ray
+
+    from ..functions.tables import from_pandas_clean
+    t2 = threshold_pct * threshold_pct
+
+    clusters, cent = _kmeans_centroids(ds, k, iters, scale)
     final_ref = ray.put((clusters, cent))
 
-    def finalize(batch: pa.Table, *, final_ref=final_ref) -> pa.Table:
+    def assign_q(batch: pa.Table, *, final_ref=final_ref) -> pa.Table:
         cl, c = ray.get(final_ref)
         ids, x = _quantized_matrix(batch, scale)
         a, dist = _assign(x, c)
@@ -167,6 +217,53 @@ def kmeans_assign(ds, k: int = 8, iters: int = 3, scale: float = 1e3):
             "vec_id": pa.array(ids, pa.int64()),
             "cluster": pa.array(cl[a], pa.int64()),
             "dist_sq": pa.array(dist, pa.int64()),
+            "q": pa.array(x.tolist(), pa.list_(pa.int64())),
         })
 
-    return ds.map_batches(finalize, batch_format="pyarrow")
+    def per_cluster(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["dist_sq", "vec_id"], kind="stable")
+        Q = np.stack(g["q"].to_numpy()).astype(np.int64)
+        n = len(Q)
+        star = n > max_cluster
+        if star:                     # loud linear degradation (house rule)
+            import logging
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster of %d exceeds max_cluster=%d — "
+                "degrading to star comparison vs the most-central member",
+                n, max_cluster)
+            dots = Q @ Q[0]                       # (n,) vs center only
+            nn = np.einsum("nd,nd->n", Q, Q)
+            if int(nn.max()) > 960_000_000:       # int64 headroom guard
+                Qo = Q.astype(object)
+                dots = Qo @ Qo[0]
+                nn = np.einsum("nd,nd->n", Qo, Qo)
+            drop = (dots > 0) & (10_000 * dots * dots >= t2 * nn * nn[0])
+            drop[0] = False
+        else:
+            if Q.size and int(np.einsum("nd,nd->n", Q, Q).max()) \
+                    > 960_000_000:
+                Q = Q.astype(object)              # exact Python-int path
+            dot = Q @ Q.T
+            nn = np.diagonal(dot).copy()
+            M = (dot > 0) & (10_000 * dot * dot >= t2 * np.outer(nn, nn))
+            drop = (M & np.tri(n, k=-1, dtype=bool)).any(axis=1)
+        out = g[["vec_id", "cluster", "dist_sq"]].copy()
+        out["keep"] = np.asarray(~drop, dtype=np.int64)
+        return from_pandas_clean(out)
+
+    _out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                             ("dist_sq", pa.int64()), ("keep", pa.int64())])
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if not len(g):               # keep empty blocks TYPED (house rule)
+            return _out_schema.empty_table()
+        return pa.concat_tables(
+            [per_cluster(cg) for _, cg in g.groupby("cluster", sort=False)])
+
+    from .groupagg import add_bucket_column
+    return (ds.map_batches(assign_q, batch_format="pyarrow")
+            .map_batches(lambda b: add_bucket_column(b, ["cluster"],
+                                                     num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

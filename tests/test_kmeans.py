@@ -51,3 +51,53 @@ def test_kmeans_empty_cluster_drops(ray_session):
                         k=3, iters=2).to_pandas()
     assert set(out["cluster"]) == {0, 2}          # cluster 1 dropped
     assert (out.loc[out["vec_id"] == 1, "cluster"] == 0).all()
+
+
+def test_semdedup_planted(ray_session):
+    """Planted near-identical pair inside one blob: the farther-from-
+    centroid twin drops; all singletons keep. Star-cap path (max_cluster
+    exceeded) must agree with the full pairwise path when every dup pair
+    involves the most-central member."""
+    from knowledgeextraction_ray.stages.vectorops import semdedup
+    rs = np.random.RandomState(5)
+    rows = []
+    for i in range(24):
+        base = 0.4 if i % 2 == 0 else -0.4
+        v = np.full(8, base) + rs.uniform(-0.15, 0.15, 8)
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    # twin pair: 100 is a copy of vec 0 with a tiny perturbation
+    v0 = np.asarray(rows[0]["embedding"])
+    rows.append({"vec_id": 100,
+                 "embedding": (v0 + 0.001).astype(np.float32).tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (semdedup(ds, k=2, iters=3, threshold_pct=99)
+           .to_pandas().set_index("vec_id"))
+    assert len(out) == 25
+    # the twins share a cluster and at most one survives; if one survives
+    # it is the more-central one (smaller (dist_sq, vec_id))
+    pair = out.loc[[0, 100]].sort_values(["dist_sq", "vec_id"])
+    assert pair["cluster"].nunique() == 1
+    assert pair["keep"].iloc[1] == 0              # the farther twin drops
+    # drops always have a more-central near-dup: the most central member
+    # of every cluster can never drop
+    most_central = out.sort_values(["dist_sq", "vec_id"]).groupby(
+        "cluster", sort=False).head(1)
+    assert most_central["keep"].eq(1).all()
+
+
+def test_semdedup_star_cap_degrades_linearly(ray_session):
+    """Oversized cluster → star comparison vs the most-central member:
+    duplicates OF THE CENTER are still caught."""
+    from knowledgeextraction_ray.stages.vectorops import semdedup
+    rows = [{"vec_id": 0, "embedding": [0.3] * 8},
+            {"vec_id": 1, "embedding": [0.3] * 8},       # dup of center
+            {"vec_id": 2, "embedding": [0.3] * 4 + [-0.3] * 4}]
+    for i in range(3, 12):
+        rows.append({"vec_id": i,
+                     "embedding": [0.3 if (i + j) % 2 else -0.3
+                                   for j in range(8)]})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (semdedup(ds, k=1, iters=1, threshold_pct=95, max_cluster=4)
+           .to_pandas().set_index("vec_id"))
+    assert out.loc[1, "keep"] == 0 or out.loc[0, "keep"] == 0
+    assert out["keep"].sum() == len(out) - 1      # exactly one twin drops
