@@ -250,12 +250,16 @@ def run_scaling() -> dict:
             with open(scaling_path) as f:
                 prev = json.load(f)
             if prev.get("sf") == scaling_dir and \
-                    prev.get("code_fingerprint") == fingerprint and \
-                    all(f"sec_{n}" in prev for n in levels):
-                for n in levels:
-                    prior_runs[n] = [float(x) for x in
-                                     prev.get(f"sec_{n}_runs",
-                                              [prev[f"sec_{n}"]])]
+                    prev.get("code_fingerprint") == fingerprint:
+                # load EVERY level the history carries — levels not rerun
+                # this invocation carry forward unchanged, so a targeted
+                # KGRAY_SCALING_LEVELS subset (e.g. extra quiet-window
+                # samples of the contention-sensitive 32 level) never
+                # discards the others' runs. Per-level run counts stay
+                # fully disclosed in sec_N_runs.
+                for key, val in prev.items():
+                    if key.startswith("sec_") and key.endswith("_runs"):
+                        prior_runs[int(key[4:-5])] = [float(x) for x in val]
                 attempts = int(prev.get("attempts", 1))
         except (ValueError, KeyError, OSError):
             pass  # unreadable/incompatible history: start fresh
@@ -264,17 +268,22 @@ def run_scaling() -> dict:
     out: dict = {"metric": "scaling", "sf": scaling_dir,
                  "repeats_per_level": repeats, "attempts": attempts + 1,
                  "code_fingerprint": fingerprint}
+    # triples count is corpus-determined, identical across levels
+    triples = next(iter(results.values()))["triples"]
     best: dict[int, float] = {}
-    for n, r in results.items():
-        all_runs = prior_runs.get(n, []) + r["_spread"]
+    union = sorted(set(prior_runs) | set(results))
+    for n in union:
+        all_runs = prior_runs.get(n, []) + \
+            (results[n]["_spread"] if n in results else [])
         best[n] = min(all_runs)
         out[f"sec_{n}"] = best[n]
-        out[f"triples_per_sec_{n}"] = round(r["triples"] / best[n], 1)
+        out[f"triples_per_sec_{n}"] = round(triples / best[n], 1)
         out[f"sec_{n}_runs"] = all_runs
-    for lo_c, hi_c in zip(levels, levels[1:]):
+    for lo_c, hi_c in zip(union, union[1:]):
         eff = (best[lo_c] / best[hi_c]) / (hi_c / lo_c)
         out[f"efficiency_{lo_c}_to_{hi_c}"] = round(eff, 3)
-    out["scaling_efficiency"] = out[f"efficiency_{levels[0]}_to_{levels[1]}"]
+    if len(union) >= 2:
+        out["scaling_efficiency"] = out[f"efficiency_{union[0]}_to_{union[1]}"]
     with open(scaling_path, "w") as f:
         json.dump(out, f)
     return out
