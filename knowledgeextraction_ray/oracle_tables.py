@@ -1044,6 +1044,23 @@ select a.vec_id, a.cluster, cast(a.dist_sq as bigint) as dist_sq,
 from afin a left join drops dr using (vec_id)""")
 
 
+def _curation_semantic_sql() -> str:
+    """The complete curation stack: the surface-level composed verdict
+    (``_curation_sql``) extended by the SemDeDup layer (``_semdedup_sql``)
+    joined 1:1 on ``vec_id = doc_id``. Reason precedence: surface gates
+    first; a surface-kept doc the semantic layer drops → 'semantic_dup'."""
+    return f"""
+with cur as materialized ({_curation_sql()}),
+sem as materialized ({_semdedup_sql()})
+select c.doc_id, c.quality_ok, c.has_secret, c.is_exact_rep, c.near_keep,
+       (s.keep = 1) as sem_keep,
+       (c.kept and s.keep = 1) as kept,
+       case when c.kept and s.keep = 0 then 'semantic_dup'
+            else c.reason end as reason
+from cur c join sem s on s.vec_id = c.doc_id
+"""
+
+
 TABLE_ORACLES = {
     "media_decode_stats": SQL_MEDIA_DECODE_STATS,
     "media_audio_stats": SQL_MEDIA_AUDIO_STATS,
@@ -1078,6 +1095,7 @@ TABLE_ORACLES = {
     "doc_dedup_keep": SQL_DOC_DEDUP_KEEP,
     # assembled last: composes the quality/secret/dedup SQL above
     "doc_curation": _curation_sql(),
+    "doc_curation_semantic": _curation_semantic_sql(),
     "doc_repetition": SQL_DOC_REPETITION,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,

@@ -300,3 +300,82 @@ def _curation_join_shape(ds, neardup_threshold: float, num_buckets: int):
             "reason": pa.array(reason.tolist(), pa.string()),
         })
     return j.map_batches(verdict, batch_format="pyarrow")
+
+
+def curation_semantic_pipeline(docs, emb, neardup_threshold: float = 0.7,
+                               semantic_threshold_pct: int = 40,
+                               k: int = 8, iters: int = 3,
+                               broadcast_limit: int = 5_000_000,
+                               num_buckets: int = 32):
+    """The COMPLETE modern curation stack in one verdict table: quality +
+    secret gates, exact dedup, MinHash near-dedup (``curation_pipeline``)
+    PLUS the SemDeDup semantic layer (``stages/vectorops.semdedup`` over
+    the 1:1 ``vec_id = doc_id`` embedding table). → (doc_id, quality_ok,
+    has_secret, is_exact_rep, near_keep, sem_keep, kept, reason).
+
+    Reason precedence: the surface-level pipeline's first-failing gate
+    wins; a doc it KEPT that the semantic layer drops becomes
+    ``semantic_dup``. The semantic drop-id set is the SMALL side by
+    construction (only near-duplicate members drop), so it broadcasts via
+    ``ray.put`` under ``broadcast_limit`` and the verdict stays a single
+    scan; past the limit it flips to a bucketed join on doc_id."""
+    import ray
+
+    from ..stages.joins import bucketed_join
+    from ..stages.vectorops import semdedup
+
+    cur = curation_pipeline(docs, neardup_threshold=neardup_threshold,
+                            num_buckets=num_buckets,
+                            broadcast_limit=broadcast_limit)
+    sem = semdedup(emb, k=k, iters=iters,
+                   threshold_pct=semantic_threshold_pct)
+
+    def only_drops(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["keep"], 0)
+        return pa.table({"doc_id": pc.filter(batch["vec_id"], m)})
+
+    drops = sem.map_batches(only_drops, batch_format="pyarrow")
+
+    def apply(batch: pa.Table, *, ref) -> pa.Table:
+        from ..runtime import worker_state
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        drop = worker_state(("sem_drops", key), lambda: ray.get(ref))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sem_keep = ~_in_sorted(ids, drop)
+        kept = batch["kept"].to_numpy(zero_copy_only=False).astype(bool)
+        reason = np.asarray(batch["reason"].to_pylist(), dtype=object)
+        sem_dup = kept & ~sem_keep
+        reason[sem_dup] = "semantic_dup"
+        out = batch.drop_columns(["kept", "reason"])
+        out = out.append_column("sem_keep", pa.array(sem_keep, pa.bool_()))
+        out = out.append_column("kept",
+                                pa.array(kept & sem_keep, pa.bool_()))
+        return out.append_column("reason",
+                                 pa.array(reason.tolist(), pa.string()))
+
+    try:
+        dpdf = drops.to_pandas(limit=broadcast_limit)
+    except ValueError:
+        flags = sem.map_batches(
+            lambda b: pa.table({"doc_id": pc.cast(b["vec_id"], pa.int64()),
+                                "sem_keep": pc.cast(b["keep"], pa.int8())}),
+            batch_format="pyarrow")
+        j = bucketed_join(cur, flags, on="doc_id", num_buckets=num_buckets)
+
+        def verdict(batch: pa.Table) -> pa.Table:
+            sem_keep = batch["sem_keep"].to_numpy(
+                zero_copy_only=False).astype(bool)
+            kept = batch["kept"].to_numpy(zero_copy_only=False).astype(bool)
+            reason = np.asarray(batch["reason"].to_pylist(), dtype=object)
+            reason[kept & ~sem_keep] = "semantic_dup"
+            out = batch.drop_columns(["kept", "reason", "sem_keep"])
+            out = out.append_column("sem_keep",
+                                    pa.array(sem_keep, pa.bool_()))
+            out = out.append_column("kept",
+                                    pa.array(kept & sem_keep, pa.bool_()))
+            return out.append_column(
+                "reason", pa.array(reason.tolist(), pa.string()))
+        return j.map_batches(verdict, batch_format="pyarrow")
+    ref = ray.put(np.sort(dpdf["doc_id"].to_numpy(dtype=np.int64)))
+    return cur.map_batches(apply, fn_kwargs={"ref": ref},
+                           batch_format="pyarrow")

@@ -487,6 +487,18 @@ def q_doc_curation(sf_dir: str):
     return curation_pipeline(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_doc_curation_semantic(sf_dir: str):
+    """The COMPLETE modern curation stack in one verdict: quality +
+    secret gates, exact dedup, MinHash near-dedup, PLUS the SemDeDup
+    semantic layer over the 1:1 embedding table (17 semantic drops among
+    surface-kept docs at sf0.01 — non-vacuous)."""
+    from .curation import curation_semantic_pipeline
+    return curation_semantic_pipeline(
+        _docs(sf_dir, ["doc_id", "text"]),
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]))
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing ≥ 2 distinct 8-gram
     shingles with the probe set (docs 0-4 stand in as the benchmark) —
@@ -886,6 +898,7 @@ TABLE_QUERIES["doc_minhash_pairs"] = q_doc_minhash_pairs
 TABLE_QUERIES["doc_secret_scan"] = q_doc_secret_scan
 TABLE_QUERIES["doc_decontaminate"] = q_doc_decontaminate
 TABLE_QUERIES["doc_curation"] = q_doc_curation
+TABLE_QUERIES["doc_curation_semantic"] = q_doc_curation_semantic
 TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf

@@ -101,3 +101,26 @@ def test_semdedup_star_cap_degrades_linearly(ray_session):
            .to_pandas().set_index("vec_id"))
     assert out.loc[1, "keep"] == 0 or out.loc[0, "keep"] == 0
     assert out["keep"].sum() == len(out) - 1      # exactly one twin drops
+
+
+def test_curation_semantic_join_path_equals_broadcast(ray_session,
+                                                      corpus_ready, sf_dir):
+    """Forcing the semantic layer through the bucketed-join fallback
+    (broadcast_limit=0 ... the drop set can't materialize) must reproduce
+    the broadcast verdict exactly."""
+    from knowledgeextraction_ray.functions.tables import read_parquet_clean
+    from knowledgeextraction_ray.pipelines.curation import (
+        curation_semantic_pipeline)
+
+    def build(**kw):
+        return curation_semantic_pipeline(
+            read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]),
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]), **kw
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    base = build()
+    alt = build(broadcast_limit=0)
+    cols = sorted(base.columns)
+    assert base[cols].equals(alt[cols])
