@@ -1044,6 +1044,37 @@ select a.vec_id, a.cluster, cast(a.dist_sq as bigint) as dist_sq,
 from afin a left join drops dr using (vec_id)""")
 
 
+def _pack_sequences_sql(max_tokens: int = 512, num_buckets: int = 16) -> str:
+    """Greedy sequence packing restated as a recursive CTE carrying only
+    the per-bucket fold state (fill, seq_index) — one row per bucket per
+    step, the ``oracle._segments_ctes`` greedy-fold technique at document
+    granularity."""
+    return f"""
+with recursive docs as materialized (
+  select doc_id, doc_id % {num_buckets} as bucket,
+         len(regexp_extract_all(text, '{TOKEN_RE}'))::bigint as n_tokens
+  from documents),
+ord as materialized (
+  select *, row_number() over (partition by bucket order by doc_id) as pos
+  from docs),
+rec as (
+  select bucket, pos, doc_id, n_tokens,
+         0::bigint as seq_index, 0::bigint as tok_offset,
+         n_tokens as fill
+  from ord where pos = 1
+  union all
+  select o.bucket, o.pos, o.doc_id, o.n_tokens,
+         case when r.fill > 0 and r.fill + o.n_tokens > {max_tokens}
+              then r.seq_index + 1 else r.seq_index end,
+         case when r.fill > 0 and r.fill + o.n_tokens > {max_tokens}
+              then 0::bigint else r.fill end,
+         case when r.fill > 0 and r.fill + o.n_tokens > {max_tokens}
+              then o.n_tokens else r.fill + o.n_tokens end
+  from rec r join ord o on o.bucket = r.bucket and o.pos = r.pos + 1)
+select doc_id, bucket, seq_index, tok_offset, n_tokens from rec
+"""
+
+
 def _curation_semantic_sql() -> str:
     """The complete curation stack: the surface-level composed verdict
     (``_curation_sql``) extended by the SemDeDup layer (``_semdedup_sql``)
@@ -1096,6 +1127,7 @@ TABLE_ORACLES = {
     # assembled last: composes the quality/secret/dedup SQL above
     "doc_curation": _curation_sql(),
     "doc_curation_semantic": _curation_semantic_sql(),
+    "doc_pack_sequences": _pack_sequences_sql(),
     "doc_repetition": SQL_DOC_REPETITION,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,

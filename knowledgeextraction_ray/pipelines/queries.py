@@ -487,6 +487,15 @@ def q_doc_curation(sf_dir: str):
     return curation_pipeline(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_doc_pack_sequences(sf_dir: str):
+    """Greedy packing of docs into ≤512-token training sequences (LLM
+    pretraining prep): sequential fold within doc_id%16 buckets, parallel
+    across buckets; hash gates every doc's (bucket, seq_index,
+    tok_offset)."""
+    from ..stages.text_analysis import pack_training_sequences
+    return pack_training_sequences(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_doc_curation_semantic(sf_dir: str):
     """The COMPLETE modern curation stack in one verdict: quality +
     secret gates, exact dedup, MinHash near-dedup, PLUS the SemDeDup
@@ -899,6 +908,7 @@ TABLE_QUERIES["doc_secret_scan"] = q_doc_secret_scan
 TABLE_QUERIES["doc_decontaminate"] = q_doc_decontaminate
 TABLE_QUERIES["doc_curation"] = q_doc_curation
 TABLE_QUERIES["doc_curation_semantic"] = q_doc_curation_semantic
+TABLE_QUERIES["doc_pack_sequences"] = q_doc_pack_sequences
 TABLE_QUERIES["doc_repetition"] = q_doc_repetition
 
 TABLE_QUERIES["knn_ivf"] = q_knn_ivf

@@ -478,3 +478,57 @@ def length_quantiles(ds, qs_e3=(500, 900, 990, 999)):
     for c in ("q_e3", "value", "n_docs"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def pack_training_sequences(ds, max_tokens: int = 512,
+                            num_buckets: int = 16):
+    """Greedy packing of documents into fixed-token training sequences —
+    the standard LLM pretraining prep step (concat docs until the context
+    window would overflow, then start a new sequence). → (doc_id, bucket,
+    seq_index, tok_offset, n_tokens).
+
+    Docs partition by ``doc_id % num_buckets`` (cluster-stable, no hash
+    salt needed — the bucket IS part of the output contract) and pack
+    sequentially within a bucket in ``doc_id`` order: a doc that would
+    overflow ``max_tokens`` starts a new sequence; an over-long doc
+    occupies its own (overflowing) sequence. The greedy fold is
+    inherently sequential PER BUCKET but embarrassingly parallel across
+    buckets — at corpus scale, raise ``num_buckets`` so each bucket's
+    O(docs) integer fold stays bounded (the same per-key-sequential /
+    cross-key-parallel shape as the reference's greedy line packer,
+    ``functions/textseg.pack_segments``)."""
+    import pandas as pd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        b = ids.to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
+        return pa.table({
+            "doc_id": ids,
+            "bucket": pa.array(b, pa.int64()),
+            "n_tokens": _count(batch["text"], TOKEN_RE),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n_tokens"].to_numpy(np.int64)
+        seq = np.empty(len(n), np.int64)
+        off = np.empty(len(n), np.int64)
+        s = fill = 0
+        for i, tok in enumerate(n):     # per-bucket greedy fold (doc-level
+            if fill > 0 and fill + tok > max_tokens:   # ints, parallel
+                s += 1                                 # across buckets)
+                fill = 0
+            seq[i] = s
+            off[i] = fill
+            fill += tok
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "seq_index": pa.array(seq, pa.int64()),
+            "tok_offset": pa.array(off, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
