@@ -91,6 +91,72 @@ from kept group by path
 """
 
 
+def sql_corpus_substring_dedup(sf_dir: str, k: int = 64,
+                               max_len: int = 8192) -> str:
+    """Exact substring dedup (Lee et al. 2022): every occurrence of a
+    duplicated ``k``-char substring except the corpus-global first (by
+    path, then position) is removed; fixed-length windows merge via a
+    lag comparison (a new span starts where ``p > lag(p) + k``); kept
+    text reassembles from the inter-span pieces. Positions are CHAR
+    positions — identical to the Ray side's byte positions because the
+    grammar corpus is ASCII by construction (same assumption the
+    whitespace-tokenizing oracles guard). ``max_len`` bounds the
+    positions table (DuckDB ``range`` takes constants only); the length
+    join prunes it exactly."""
+    corpus = corpus_glob(sf_dir)
+    return f"""
+with pos as materialized (
+  select range::bigint as p from range(0, {max_len})),
+grams as materialized (
+  select t.path, p.p, substr(t.content, p.p + 1, {k}) as gram
+  from read_parquet('{corpus}') t join pos p on p.p + {k} <= length(t.content)),
+firsts as materialized (
+  select gram, count(*) as cnt,
+         min(t.path || chr(31) || lpad(t.p::varchar, 12, '0')) as owner
+  from grams t group by gram),
+covered as materialized (
+  select g.path, g.p
+  from grams g join firsts f using (gram)
+  where f.cnt >= 2
+    and f.owner <> g.path || chr(31) || lpad(g.p::varchar, 12, '0')),
+brk as (
+  select path, p,
+         coalesce((p > lag(p) over (partition by path order by p)
+                   + {k})::int, 1) as b
+  from covered),
+isl as (
+  select path, p, sum(b) over (partition by path order by p
+                               rows unbounded preceding) as island
+  from brk),
+islands as materialized (
+  select path, island, min(p) as s, max(p) + {k} as e
+  from isl group by path, island),
+pieces as (
+  select path,
+         coalesce(lag(e) over (partition by path order by s), 0) as f,
+         s as t
+  from islands
+  union all
+  select c.path, coalesce(max(i.e), 0), length(c.content)
+  from read_parquet('{corpus}') c left join islands i using (path)
+  group by c.path, length(c.content)),
+kept as (
+  select p.path,
+         string_agg(substr(c.content, p.f + 1, p.t - p.f), '' order by p.f)
+           as kept_text
+  from pieces p join read_parquet('{corpus}') c using (path)
+  group by p.path)
+select c.path, length(c.content)::bigint as n_chars,
+       coalesce(sum(i.e - i.s), 0)::bigint as removed_chars,
+       count(i.island)::bigint as n_spans,
+       sha256(any_value(k.kept_text)) as text_sha256
+from read_parquet('{corpus}') c
+join kept k using (path)
+left join islands i using (path)
+group by c.path, length(c.content)
+"""
+
+
 def sql_mentions(sf_dir: str) -> str:
     """Mention counts per (file, label, surface)."""
     return f"""
@@ -1251,6 +1317,7 @@ elig as materialized (
 KG_ORACLES = {
     "kg_corpus_sha": sql_corpus_sha,
     "corpus_line_dedup": sql_corpus_line_dedup,
+    "corpus_substring_dedup": sql_corpus_substring_dedup,
     "kg_mentions": sql_mentions,
     "kg_label_hist": sql_label_hist,
     "kg_canonical": sql_canonical,

@@ -177,9 +177,25 @@ def q_corpus_line_dedup(sf_dir: str):
     return line_dedup(ds)
 
 
+def q_corpus_substring_dedup(sf_dir: str):
+    """Exact substring dedup (Lee et al. 2022): remove all-but-first
+    occurrences of duplicated 64-char substrings corpus-wide, merging
+    overlapping windows into spans before splicing. The hash gates every
+    file's span count, removed-char total AND the spliced text."""
+    import ray.data as rd
+
+    from ..corpus import corpus_parquet_dir, ensure_corpus
+    from ..stages.dedup import substring_dedup
+    ensure_corpus(sf_dir)
+    ds = rd.read_parquet(corpus_parquet_dir(sf_dir),
+                         columns=["path", "content"])
+    return substring_dedup(ds, k=64)
+
+
 KG_QUERIES = {
     "kg_corpus_sha": q_corpus_sha,
     "corpus_line_dedup": q_corpus_line_dedup,
+    "corpus_substring_dedup": q_corpus_substring_dedup,
     "kg_mentions": q_mentions,
     "kg_label_hist": q_label_hist,
     "kg_canonical": q_canonical,

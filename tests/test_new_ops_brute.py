@@ -87,3 +87,59 @@ def test_pack_sequences_matches_brute_force(ray_session):
             row = got.loc[doc_id]
             assert (row["bucket"], row["seq_index"],
                     row["tok_offset"], row["n_tokens"]) == (b, seq, off, n)
+
+
+def _brute_substring_dedup(rows, k):
+    """Naive reference for substring_dedup: first occurrence of each
+    duplicated k-gram by (path, pos); merged fixed-length windows."""
+    first, counts = {}, {}
+    for path, content in sorted(rows):
+        for p in range(len(content) - k + 1):
+            gram = content[p:p + k]
+            counts[gram] = counts.get(gram, 0) + 1
+            first.setdefault(gram, (path, p))
+    out = {}
+    for path, content in rows:
+        covered = [p for p in range(len(content) - k + 1)
+                   if counts[content[p:p + k]] >= 2
+                   and first[content[p:p + k]] != (path, p)]
+        spans = []
+        for p in covered:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k))
+            else:
+                spans.append((p, p + k))
+        kept, prev = [], 0
+        for s, e in spans:
+            kept.append(content[prev:s])
+            prev = e
+        kept.append(content[prev:])
+        out[path] = (len(content), sum(e - s for s, e in spans), len(spans),
+                     hashlib.sha256("".join(kept).encode()).hexdigest())
+    return out
+
+
+def test_substring_dedup_matches_brute_force(ray_session):
+    from knowledgeextraction_ray.stages.dedup import substring_dedup
+    rs = np.random.RandomState(29)
+    K = 16
+    motif = "SHARED-MOTIF-" + "z" * 20      # long duplicated block
+    for trial in range(3):
+        rows = []
+        for f in range(12):
+            parts = []
+            for _ in range(rs.randint(2, 5)):
+                if rs.rand() < 0.5:
+                    parts.append(motif)
+                parts.append("".join(chr(97 + c) for c in
+                                     rs.randint(0, 26, rs.randint(5, 40))))
+            rows.append((f"f{f:02d}", " ".join(parts)))
+        expect = _brute_substring_dedup(rows, K)
+        ds = rd.from_pandas(pd.DataFrame(
+            [{"path": p, "content": c} for p, c in rows]))
+        got = (substring_dedup(ds, k=K).to_pandas().set_index("path"))
+        for path, (n, removed, spans, sha) in expect.items():
+            row = got.loc[path]
+            assert (row["n_chars"], row["removed_chars"],
+                    row["n_spans"], row["text_sha256"]) == \
+                (n, removed, spans, sha), path
