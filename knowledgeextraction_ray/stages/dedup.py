@@ -1545,12 +1545,44 @@ def substring_dedup(ds, k: int = 64, text_col: str = "content",
             if mode == "driver":
                 raise
     if dup_map is None:
-        from .groupagg import bucketed_agg
-        dup_ds = bucketed_agg(partials, ["h1", "h2"],
-                              {"cnt": ("cnt", "sum"),
-                               "owner": ("owner", "min")},
-                              num_buckets=num_buckets)
-        dup_ds = dup_ds.filter(lambda row: row["cnt"] >= 2)
+        # distributed combine: bucket on h1, lexsort + run-length reduce
+        # per bucket (NOT the generic bucketed_agg — its pandas
+        # groupby().min() over owner strings is the measured 6.7 s/52k-group
+        # pathology), emit ONLY duplicated grams
+        from .groupagg import add_bucket_column
+
+        def combine_bucket(g) -> pa.Table:
+            a = g["h1"].to_numpy().astype(np.uint64)
+            b = g["h2"].to_numpy().astype(np.uint64)
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            heads = np.empty(len(a), bool)
+            if not len(a):
+                return pa.table({"h1": pa.array([], pa.uint64()),
+                                 "h2": pa.array([], pa.uint64()),
+                                 "owner": pa.array([], pa.string())})
+            heads[0] = True
+            heads[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            head_idx = np.nonzero(heads)[0]
+            cnt = np.add.reduceat(g["cnt"].to_numpy().astype(np.int64)
+                                  [order], head_idx)
+            ends = np.append(head_idx[1:], len(a))
+            owners = g["owner"].to_numpy()[order]
+            keep = cnt >= 2
+            return pa.table({
+                "h1": pa.array(a[head_idx[keep]], pa.uint64()),
+                "h2": pa.array(b[head_idx[keep]], pa.uint64()),
+                "owner": pa.array(
+                    [min(owners[s:e]) for s, e, k_ in
+                     zip(head_idx.tolist(), ends.tolist(), keep.tolist())
+                     if k_], pa.string()),
+            })
+
+        dup_ds = (partials.map_batches(
+            lambda t: add_bucket_column(t, ["h1"], num_buckets),
+            batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(combine_bucket, batch_format="pandas"))
         dpdf = dup_ds.to_pandas(limit=broadcast_limit)  # raises past limit:
         # the honest boundary — see docstring (suffix-array territory)
         dup_map = dict(zip(

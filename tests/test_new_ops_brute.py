@@ -143,3 +143,23 @@ def test_substring_dedup_matches_brute_force(ray_session):
             assert (row["n_chars"], row["removed_chars"],
                     row["n_spans"], row["text_sha256"]) == \
                 (n, removed, spans, sha), path
+
+
+def test_substring_dedup_distributed_path_equal(ray_session):
+    """The bucketed distributed combine (custom lexsort+reduceat, not the
+    generic string-min bucketed_agg) must reproduce the driver merge."""
+    from knowledgeextraction_ray.stages.dedup import substring_dedup
+    rs = np.random.RandomState(31)
+    motif = "ANOTHER-SHARED-MOTIF-" + "q" * 16
+    rows = []
+    for f in range(15):
+        parts = [motif if rs.rand() < 0.5 else
+                 "".join(chr(97 + c) for c in rs.randint(0, 26, 30))
+                 for _ in range(4)]
+        rows.append({"path": f"g{f:02d}", "content": " ".join(parts)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    base = (substring_dedup(ds, k=16, mode="driver")
+            .to_pandas().sort_values("path").reset_index(drop=True))
+    alt = (substring_dedup(ds, k=16, mode="distributed")
+           .to_pandas().sort_values("path").reset_index(drop=True))
+    assert base.equals(alt[base.columns])
