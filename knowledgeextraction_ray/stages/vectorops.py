@@ -240,10 +240,17 @@ def semdedup(ds, k: int = 8, iters: int = 3, scale: float = 1e3,
             drop = (dots > 0) & (10_000 * dots * dots >= t2 * nn * nn[0])
             drop[0] = False
         else:
-            if Q.size and int(np.einsum("nd,nd->n", Q, Q).max()) \
-                    > 960_000_000:
+            nn_max = int(np.einsum("nd,nd->n", Q, Q).max()) if Q.size else 0
+            if nn_max <= 960_000_000:
+                # float64 BLAS matmul is EXACT here: |dot| ≤ nn_max ≤
+                # 9.6e8 ≪ 2⁵³ and every partial sum is an integer (int64
+                # matmul has no BLAS — this is the fast path; the same
+                # bound keeps the 10⁴·dot² comparison inside int64)
+                dot = np.rint(Q.astype(np.float64)
+                              @ Q.astype(np.float64).T).astype(np.int64)
+            else:
                 Q = Q.astype(object)              # exact Python-int path
-            dot = Q @ Q.T
+                dot = Q @ Q.T
             nn = np.diagonal(dot).copy()
             M = (dot > 0) & (10_000 * dot * dot >= t2 * np.outer(nn, nn))
             drop = (M & np.tri(n, k=-1, dtype=bool)).any(axis=1)
